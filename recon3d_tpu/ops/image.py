@@ -1,0 +1,176 @@
+"""Dense image ops in pure JAX: the cv2.imgproc surface the pipelines need.
+
+Replaces the OpenCV calls sprinkled through the reference's hot loops —
+cvtColor grayscale (depth4.py:251-252), equalizeHist + GaussianBlur
+preprocessing (Calib.py:136-141), remap rectification (depth4.py:246-248),
+normalize + colormap display prep (depth4.py:260-262, depth.py:125-131) —
+as jit/vmap-friendly functions over float32 arrays. Everything here fuses
+into surrounding XLA programs; none of it round-trips to host.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rgb_to_gray(img: jax.Array, order: str = "rgb") -> jax.Array:
+    """ITU-R BT.601 luma, matching cv2.cvtColor COLOR_RGB2GRAY/COLOR_BGR2GRAY."""
+    w = jnp.array([0.299, 0.587, 0.114], img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32)
+    if order == "bgr":
+        w = w[::-1]
+    out = jnp.asarray(img, w.dtype) @ w
+    return out
+
+
+def histogram_equalize(gray: jax.Array) -> jax.Array:
+    """cv2.equalizeHist on a uint8-range image (values 0..255), returns same range.
+
+    Used in calibration preprocessing (Calib.py:136-141).
+    """
+    g = jnp.clip(jnp.round(jnp.asarray(gray, jnp.float32)), 0, 255).astype(jnp.int32)
+    hist = jnp.zeros((256,), jnp.int32).at[g.reshape(-1)].add(1)
+    cdf = jnp.cumsum(hist)
+    total = g.size
+    # OpenCV: scale by 255/(N - cdf(min nonzero)), lut = round((cdf - cdfmin)*scale)
+    nonzero_min = jnp.min(jnp.where(hist > 0, cdf, total + 1))
+    denom = jnp.maximum(total - nonzero_min, 1)
+    lut = jnp.clip(jnp.round((cdf - nonzero_min) * 255.0 / denom), 0, 255)
+    return lut[g].astype(jnp.float32)
+
+
+def _gaussian_kernel1d(ksize: int, sigma: float, dtype=jnp.float32) -> jax.Array:
+    if sigma <= 0:
+        # OpenCV's default sigma from kernel size
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = jnp.arange(ksize, dtype=dtype) - (ksize - 1) / 2.0
+    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / jnp.sum(k)
+
+
+@partial(jax.jit, static_argnames=("ksize", "sigma"))
+def gaussian_blur(img: jax.Array, ksize: int = 5, sigma: float = 0.0) -> jax.Array:
+    """Separable Gaussian blur with reflect-101 borders (cv2.GaussianBlur default)."""
+    k = _gaussian_kernel1d(ksize, sigma, jnp.float32)
+    x = jnp.asarray(img, jnp.float32)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    pad = ksize // 2
+    xp = jnp.pad(x, ((pad, pad), (0, 0), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        xp.transpose(2, 0, 1)[:, None], k.reshape(1, 1, ksize, 1),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0].transpose(1, 2, 0)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        xp.transpose(2, 0, 1)[:, None], k.reshape(1, 1, 1, ksize),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0].transpose(1, 2, 0)
+    return x[..., 0] if squeeze else x
+
+
+def sobel(gray: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """3x3 Sobel gradients (gx, gy) with reflect-101 borders."""
+    g = jnp.asarray(gray, jnp.float32)
+    kx = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], jnp.float32)
+    ky = kx.T
+    gp = jnp.pad(g, 1, mode="reflect")[None, None]
+    gx = jax.lax.conv_general_dilated(gp, kx[None, None], (1, 1), "VALID",
+                                      dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    gy = jax.lax.conv_general_dilated(gp, ky[None, None], (1, 1), "VALID",
+                                      dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    return gx, gy
+
+
+def central_gradients(gray: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Central-difference gradients, zero at borders (odometry Jacobians)."""
+    g = jnp.asarray(gray, jnp.float32)
+    gx = jnp.zeros_like(g).at[:, 1:-1].set((g[:, 2:] - g[:, :-2]) * 0.5)
+    gy = jnp.zeros_like(g).at[1:-1, :].set((g[2:, :] - g[:-2, :]) * 0.5)
+    return gx, gy
+
+
+def bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array,
+                    border_value: float = 0.0) -> jax.Array:
+    """Sample img (H, W[, C]) at float coords (x, y); constant border.
+
+    The core of cv2.remap(INTER_LINEAR, BORDER_CONSTANT) (depth4.py:246-248).
+    x/y may be any (broadcastable) shape; returns samples of that shape [+C].
+    """
+    g = jnp.asarray(img)
+    H, W = g.shape[0], g.shape[1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)
+    fy = (y - y0)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        v = g[yc, xc]
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        if g.ndim == 3:
+            inb = inb[..., None]
+        return jnp.where(inb, v, jnp.asarray(border_value, g.dtype))
+
+    w00 = (1 - fx) * (1 - fy)
+    w10 = fx * (1 - fy)
+    w01 = (1 - fx) * fy
+    w11 = fx * fy
+    if g.ndim == 3:
+        w00, w10, w01, w11 = (w[..., None] for w in (w00, w10, w01, w11))
+    out = (w00 * gather(y0i, x0i) + w10 * gather(y0i, x0i + 1)
+           + w01 * gather(y0i + 1, x0i) + w11 * gather(y0i + 1, x0i + 1))
+    return out
+
+
+def remap(img: jax.Array, map_x: jax.Array, map_y: jax.Array,
+          border_value: float = 0.0) -> jax.Array:
+    """cv2.remap(INTER_LINEAR): out[i,j] = img(map_y[i,j], map_x[i,j])."""
+    return bilinear_sample(jnp.asarray(img, jnp.float32), map_x, map_y, border_value)
+
+
+def normalize_minmax(img: jax.Array, lo: float = 0.0, hi: float = 255.0) -> jax.Array:
+    """cv2.normalize(NORM_MINMAX) (depth4.py:260)."""
+    mn, mx = jnp.min(img), jnp.max(img)
+    return (img - mn) * ((hi - lo) / jnp.maximum(mx - mn, 1e-12)) + lo
+
+
+def colormap_jet(norm01: jax.Array) -> jax.Array:
+    """cv2.COLORMAP_JET equivalent over values in [0,1] -> float RGB [0,1]
+    (depth.py:129-131 display path)."""
+    v = jnp.clip(norm01, 0.0, 1.0)
+    four = 4.0 * v
+    r = jnp.clip(jnp.minimum(four - 1.5, -four + 4.5), 0.0, 1.0)
+    g = jnp.clip(jnp.minimum(four - 0.5, -four + 3.5), 0.0, 1.0)
+    b = jnp.clip(jnp.minimum(four + 0.5, -four + 2.5), 0.0, 1.0)
+    return jnp.stack([r, g, b], -1)
+
+
+def pyramid(gray: jax.Array, levels: int) -> list:
+    """Gaussian image pyramid (cv2.pyrDown chain) for coarse-to-fine odometry."""
+    out = [jnp.asarray(gray, jnp.float32)]
+    for _ in range(levels - 1):
+        blurred = gaussian_blur(out[-1], ksize=5, sigma=1.0)
+        out.append(blurred[::2, ::2])
+    return out
+
+
+def resize_bilinear(img: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """cv2.resize(INTER_LINEAR) with half-pixel alignment."""
+    H, W = img.shape[:2]
+    h, w = out_hw
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (H / h) - 0.5
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * (W / w) - 0.5
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    # clamp-to-edge sampling (cv2.resize replicates the border)
+    gy = jnp.clip(gy, 0.0, H - 1.0)
+    gx = jnp.clip(gx, 0.0, W - 1.0)
+    return bilinear_sample(img, gx, gy)
