@@ -95,15 +95,25 @@ def _render_sphere_plane(fx, fy, cx, cy, h, w, pose):
     depth = np.where(np.isfinite(t), cam[..., 2], 0.0)
 
     sphere_closer = t_s < t_p
-    # color: sphere = smooth normal shading; plane = checkerboard texture
+    # color: smooth shading + multi-frequency surface-attached texture, so
+    # stereo/photometric matching has support everywhere (smooth in world
+    # coords -> consistent under sub-pixel view shifts)
     n = (pts - c0) / r
     shade = np.clip(0.3 + 0.7 * np.clip(n[..., 2] * -1, 0, 1), 0, 1)
     checker = ((np.floor(pts[..., 0] * 8) + np.floor(pts[..., 1] * 8)) % 2)
+    px, py, pz = pts[..., 0], pts[..., 1], pts[..., 2]
+    tex = (
+        0.30 * np.sin(41.0 * px + 13.0 * py)
+        + 0.25 * np.sin(29.0 * py - 17.0 * pz + 1.3)
+        + 0.20 * np.sin(53.0 * (px + py + pz) + 0.7)
+        + 0.15 * np.sin(97.0 * px - 71.0 * py + 2.1)
+    )
+    tex = 0.75 + 0.25 * tex
     color = np.zeros((h, w, 3))
-    color[..., 0] = np.where(sphere_closer, shade, 0.2 + 0.6 * checker)
-    color[..., 1] = np.where(sphere_closer, 0.3 * shade, 0.2 + 0.6 * checker)
-    color[..., 2] = np.where(sphere_closer, 0.2, 0.4 + 0.4 * checker)
-    color = np.where(np.isfinite(t)[..., None], color, 0.0)
+    color[..., 0] = np.where(sphere_closer, shade, 0.2 + 0.6 * checker) * tex
+    color[..., 1] = np.where(sphere_closer, 0.3 * shade, 0.2 + 0.6 * checker) * tex
+    color[..., 2] = np.where(sphere_closer, 0.2, 0.4 + 0.4 * checker) * tex
+    color = np.where(np.isfinite(t)[..., None], np.clip(color, 0, 1), 0.0)
     return (color * 255).astype(np.uint8), depth.astype(np.float32)
 
 

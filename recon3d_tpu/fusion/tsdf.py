@@ -1,0 +1,181 @@
+"""TSDF volume: truncated signed distance fusion of depth frames.
+
+Replaces o3d.pipelines.integration.ScalableTSDFVolume.integrate
+(test/mini1.py:33-37, 332-356; test/check90.py:36-41). Open3D scales by
+hashing sparse bricks on CPU; the TPU-native design is a dense static grid
+(resolution^3 fits HBM easily: 256^3 x 5 channels f32 = 335 MB) updated
+voxel-centrically — every voxel projects into the incoming frame in one
+fused XLA program, no per-voxel host logic, no dynamic allocation.
+
+integrate() is O(R^3) independent of frame size, embarrassingly parallel,
+and jit-compiled once per (resolution, image size).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.utils.types import CameraIntrinsics, PointCloud
+
+
+def _pytree(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+
+    def flatten(o):
+        return tuple(getattr(o, n) for n in fields), None
+
+    def unflatten(_, c):
+        return cls(**dict(zip(fields, c)))
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_pytree
+class TSDFVolume:
+    """Dense TSDF grid.
+
+    tsdf:   (R, R, R) float32 in [-1, 1] (distance / sdf_trunc)
+    weight: (R, R, R) float32 accumulated integration weights
+    color:  (R, R, R, 3) float32 running color average, or None
+    origin: (3,) float32 world position of voxel (0,0,0) center
+    voxel_size, sdf_trunc: scalars (traced, so tunable without recompile)
+    """
+
+    tsdf: jax.Array
+    weight: jax.Array
+    origin: jax.Array
+    voxel_size: jax.Array
+    sdf_trunc: jax.Array
+    color: Optional[jax.Array] = None
+
+    @property
+    def resolution(self) -> int:
+        return self.tsdf.shape[0]
+
+
+def make_volume(
+    resolution: int = 256,
+    voxel_size: float = 0.004,
+    sdf_trunc: float = 0.02,
+    origin=(-0.512, -0.512, 0.0),
+    with_color: bool = True,
+) -> TSDFVolume:
+    """Defaults follow mini1.py:33-37 (voxel 0.004, trunc 0.02-ish) with a
+    ~1m^3 working volume in front of the camera."""
+    R = resolution
+    return TSDFVolume(
+        tsdf=jnp.zeros((R, R, R), jnp.float32),
+        weight=jnp.zeros((R, R, R), jnp.float32),
+        color=jnp.zeros((R, R, R, 3), jnp.float32) if with_color else None,
+        origin=jnp.asarray(origin, jnp.float32),
+        voxel_size=jnp.float32(voxel_size),
+        sdf_trunc=jnp.float32(sdf_trunc),
+    )
+
+
+@jax.jit
+def integrate(
+    vol: TSDFVolume,
+    depth: jax.Array,
+    intr: CameraIntrinsics,
+    extrinsic: jax.Array,
+    color: Optional[jax.Array] = None,
+    depth_trunc: float = 3.0,
+) -> TSDFVolume:
+    """Fuse one depth (+color) frame.
+
+    extrinsic: (4,4) camera_from_world (Open3D convention: the pose passed
+    to ScalableTSDFVolume.integrate, mini1.py:352-356 uses inv(world pose)).
+    """
+    R = vol.resolution
+    # voxel centers in world space
+    idx = jnp.arange(R, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], -1) * vol.voxel_size + vol.origin  # (R,R,R,3)
+    cam = pts @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+    z = cam[..., 2]
+    u = intr.fx * cam[..., 0] / jnp.maximum(z, 1e-9) + intr.cx
+    v = intr.fy * cam[..., 1] / jnp.maximum(z, 1e-9) + intr.cy
+
+    H, W = depth.shape
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    inb = (z > 1e-6) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    uc = jnp.clip(ui, 0, W - 1)
+    vc = jnp.clip(vi, 0, H - 1)
+    d = depth[vc, uc]
+    valid_d = (d > 1e-4) & (d < depth_trunc) & inb
+
+    sdf = d - z
+    tsdf_new = jnp.clip(sdf / vol.sdf_trunc, -1.0, 1.0)
+    # integrate only within the truncation band in front of the surface
+    upd = valid_d & (sdf > -vol.sdf_trunc)
+    w_new = upd.astype(jnp.float32)
+
+    w_old = vol.weight
+    w_tot = w_old + w_new
+    tsdf = jnp.where(upd, (vol.tsdf * w_old + tsdf_new) / jnp.maximum(w_tot, 1.0), vol.tsdf)
+    out = dataclasses.replace(vol, tsdf=tsdf, weight=w_tot)
+    if vol.color is not None and color is not None:
+        c = jnp.asarray(color)
+        if c.dtype == jnp.uint8:
+            c = c.astype(jnp.float32) / 255.0
+        cf = c[vc, uc]
+        cnew = jnp.where(
+            upd[..., None],
+            (vol.color * w_old[..., None] + cf) / jnp.maximum(w_tot, 1.0)[..., None],
+            vol.color,
+        )
+        out = dataclasses.replace(out, color=cnew)
+    return out
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def extract_point_cloud(vol: TSDFVolume, capacity: int = 1 << 18,
+                        weight_min: float = 1.0) -> PointCloud:
+    """Surface points: voxels where the TSDF crosses zero along +x/+y/+z.
+
+    (o3d extract_point_cloud equivalent); vertices linearly interpolated to
+    the zero crossing, packed into a fixed-capacity masked PointCloud.
+    """
+    t = vol.tsdf
+    w = vol.weight
+    R = vol.resolution
+    pts_list = []
+    col_list = []
+    val_list = []
+    for axis in range(3):
+        ta = jnp.roll(t, -1, axis=axis)
+        wa = jnp.roll(w, -1, axis=axis)
+        cross = (t * ta < 0.0) & (w >= weight_min) & (wa >= weight_min)
+        # kill wrap-around
+        sl = [slice(None)] * 3
+        sl[axis] = slice(R - 1, R)
+        cross = cross.at[tuple(sl)].set(False)
+        alpha = t / jnp.where(jnp.abs(t - ta) < 1e-9, 1e-9, t - ta)
+        idx = jnp.arange(R, dtype=jnp.float32)
+        gx, gy, gz = jnp.meshgrid(idx, idx, idx, indexing="ij")
+        base = jnp.stack([gx, gy, gz], -1)
+        offs = jnp.zeros(3).at[axis].set(1.0)
+        p = (base + jnp.clip(alpha, 0.0, 1.0)[..., None] * offs) * vol.voxel_size + vol.origin
+        pts_list.append(p.reshape(-1, 3))
+        val_list.append(cross.reshape(-1))
+        if vol.color is not None:
+            col_list.append(vol.color.reshape(-1, 3))
+    pts = jnp.concatenate(pts_list, 0)
+    valid = jnp.concatenate(val_list, 0)
+    cols = jnp.concatenate(col_list, 0) if col_list else None
+    # compact into capacity
+    order = jnp.argsort(~valid, stable=True)[:capacity]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    return PointCloud(
+        points=pts[order],
+        colors=None if cols is None else cols[order],
+        valid=jnp.arange(capacity) < jnp.minimum(n_valid, capacity),
+    )

@@ -1,0 +1,130 @@
+"""Normal estimation: k-NN PCA + orientation.
+
+Replaces o3d.t.geometry estimate_normals (CUDA k-NN PCA,
+normal_estimation.py:19-20) and the two orientation modes the reference
+uses: camera-location orientation and orient_normals_consistent_tangent_plane
+(normal_estimation.py:21). The covariance eigen-solve is a closed-form
+analytic 3x3 symmetric eigenvector (vmapped; no LAPACK in the hot path);
+consistent orientation is a parallel label-propagation sweep over the k-NN
+graph instead of Open3D's sequential MST walk.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.ops import knn as _knn
+from recon3d_tpu.utils.types import PointCloud
+
+
+def _smallest_eigvec_3x3(C: jax.Array) -> jax.Array:
+    """Eigenvector of the smallest eigenvalue of a symmetric 3x3 (batched ...x3x3).
+
+    Analytic eigenvalues (trigonometric form), then the null-space direction
+    via the largest cross product of rows of (C - lam I) — numerically robust
+    for the well-separated planar case and safe under degeneracy.
+    """
+    C = jnp.asarray(C, jnp.float32)
+    q = jnp.trace(C, axis1=-2, axis2=-1) / 3.0
+    I = jnp.eye(3, dtype=C.dtype)
+    B = C - q[..., None, None] * I
+    p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = jnp.linalg.det(B)
+    r = detB / (2.0 * p ** 3 + 1e-30)
+    r = jnp.clip(r, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # eigenvalues: q + 2p cos(phi + 2k pi/3); smallest at k=1 (phi + 2pi/3... )
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    A = C - lam_min[..., None, None] * I
+    r0, r1, r2 = A[..., 0, :], A[..., 1, :], A[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, -1)
+    n02 = jnp.sum(c02 * c02, -1)
+    n12 = jnp.sum(c12 * c12, -1)
+    best = jnp.stack([c01, c02, c12], axis=-2)
+    which = jnp.argmax(jnp.stack([n01, n02, n12], -1), axis=-1)
+    v = jnp.take_along_axis(best, which[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # fully degenerate (isotropic) neighborhoods: fall back to +z
+    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], C.dtype), v.shape)
+    return jnp.where(norm > 1e-12, v / jnp.maximum(norm, 1e-12), fallback)
+
+
+@partial(jax.jit, static_argnames=("max_nn",))
+def estimate_normals(
+    pc: PointCloud,
+    radius: float = 0.05,
+    max_nn: int = 50,
+) -> PointCloud:
+    """Hybrid-search PCA normals (normal_estimation.py:20 semantics:
+    max_nn=50, radius=0.05)."""
+    idx, d2, ok = _knn.hybrid_knn(pc.points, pc.valid, radius, max_nn=max_nn)
+    nbrs = pc.points[idx]  # (N, K, 3)
+    w = ok.astype(jnp.float32)[..., None]
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mean = jnp.sum(nbrs * w, axis=1) / cnt
+    d = (nbrs - mean[:, None, :]) * w
+    C = jnp.einsum("nki,nkj->nij", d, d) / cnt[..., None]
+    normals = _smallest_eigvec_3x3(C)
+    return dataclasses.replace(pc, normals=normals)
+
+
+@jax.jit
+def orient_normals_towards_camera(
+    pc: PointCloud, camera_location: jax.Array = jnp.zeros(3)
+) -> PointCloud:
+    """Flip normals to face the camera (o3d orient_normals_towards_camera_location)."""
+    view = camera_location[None, :] - pc.points
+    flip = jnp.sum(pc.normals * view, axis=1) < 0
+    normals = jnp.where(flip[:, None], -pc.normals, pc.normals)
+    return dataclasses.replace(pc, normals=normals)
+
+
+@partial(jax.jit, static_argnames=("k", "iterations"))
+def orient_normals_consistent(
+    pc: PointCloud,
+    k: int = 10,
+    iterations: int = 30,
+) -> PointCloud:
+    """Consistent tangent-plane orientation (normal_estimation.py:21).
+
+    Open3D walks a Riemannian MST sequentially; here orientation spreads by
+    synchronous majority propagation over the k-NN graph: starting from the
+    extremal point oriented outward, each sweep flips a point to agree with
+    the weighted majority of its already-confident neighbors. Converges to
+    the MST labeling on smooth manifolds in O(graph diameter) sweeps.
+    """
+    idx, d2 = _knn.knn(pc.points, pc.valid, k=k)
+    w = jnp.exp(-d2 / jnp.maximum(jnp.mean(jnp.where(d2 < 1e29, d2, 0.0)), 1e-12))
+    # seed: the point with max z, oriented +z
+    z = jnp.where(pc.valid, pc.points[:, 2], -jnp.inf)
+    seed = jnp.argmax(z)
+    n0 = pc.normals
+    sign0 = jnp.ones(pc.capacity, jnp.float32)
+    sign0 = sign0.at[seed].set(jnp.where(n0[seed, 2] < 0, -1.0, 1.0))
+    conf0 = jnp.zeros(pc.capacity, jnp.float32).at[seed].set(1.0)
+
+    dots = jnp.einsum("ni,nki->nk", n0, n0[idx])  # alignment with neighbors
+
+    def body(_, state):
+        sign, conf = state
+        # weighted vote from neighbors: neighbor sign * dot orientation
+        vote = jnp.sum(w * conf[idx] * sign[idx] * jnp.sign(dots), axis=1)
+        has_vote = jnp.abs(vote) > 1e-12
+        new_sign = jnp.where(has_vote, jnp.sign(vote), sign)
+        new_conf = jnp.maximum(conf, has_vote.astype(jnp.float32))
+        # seed stays pinned
+        new_sign = new_sign.at[seed].set(sign0[seed])
+        new_conf = new_conf.at[seed].set(1.0)
+        return new_sign, new_conf
+
+    sign, _ = jax.lax.fori_loop(0, iterations, body, (sign0, conf0))
+    return dataclasses.replace(pc, normals=pc.normals * sign[:, None])

@@ -1,0 +1,157 @@
+"""Direct RGB-D odometry (hybrid photometric + geometric term).
+
+Replaces o3d.pipelines.odometry.compute_rgbd_odometry with
+RGBDOdometryJacobianFromHybridTerm (test/check90.py:202-206,
+test/colorReco.py:136-142): coarse-to-fine Gauss-Newton on dense image
+alignment, minimizing per pixel
+
+    r_I = I_tgt(w(p)) - I_src(p)          (photometric)
+    r_Z = Z_tgt(w(p)) - [T p]_z           (geometric)
+
+over the 6-dof twist of T (source -> target camera). Warping is
+bilinear_sample, gradients are central differences, every GN sweep is one
+fused XLA program over the whole level — no per-pixel host logic. Huber
+weights tame occlusion outliers.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from recon3d_tpu.ops import image as im
+from recon3d_tpu.registration import se3
+from recon3d_tpu.utils.types import CameraIntrinsics, RGBDImage
+
+
+class OdometryResult(NamedTuple):
+    success: jax.Array
+    transformation: jax.Array  # (4,4) target_from_source
+    information: jax.Array  # (6,6)
+    inlier_fraction: jax.Array
+
+
+def _level_intr(fx, fy, cx, cy, level):
+    s = 0.5 ** level
+    return fx * s, fy * s, (cx + 0.5) * s - 0.5, (cy + 0.5) * s - 0.5
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def _gn_level(I0, Z0, I1, Z1, fx, fy, cx, cy, T0, iterations: int,
+              depth_diff_max: float, sigma_i: float, sigma_z: float):
+    H, W = I0.shape
+    gx1, gy1 = im.central_gradients(I1)
+    zx1, zy1 = im.central_gradients(Z1)
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    valid0 = (Z0 > 1e-3) & jnp.isfinite(Z0)
+    x0 = (u - cx) / fx * Z0
+    y0 = (v - cy) / fy * Z0
+    P0 = jnp.stack([x0, y0, Z0], -1)  # (H, W, 3)
+
+    def step(T, _):
+        P = P0 @ T[:3, :3].T + T[:3, 3]
+        X, Y, Z = P[..., 0], P[..., 1], jnp.maximum(P[..., 2], 1e-6)
+        uu = fx * X / Z + cx
+        vv = fy * Y / Z + cy
+        inb = (uu >= 1) & (uu < W - 2) & (vv >= 1) & (vv < H - 2) & valid0 & (P[..., 2] > 1e-3)
+
+        I1w = im.bilinear_sample(I1, uu, vv)
+        Z1w = im.bilinear_sample(Z1, uu, vv)
+        gxw = im.bilinear_sample(gx1, uu, vv)
+        gyw = im.bilinear_sample(gy1, uu, vv)
+        zxw = im.bilinear_sample(zx1, uu, vv)
+        zyw = im.bilinear_sample(zy1, uu, vv)
+
+        zvalid = (Z1w > 1e-3) & inb
+        r_i = (I1w - I0) / sigma_i
+        r_z = (Z1w - P[..., 2]) / sigma_z
+        ok = zvalid & (jnp.abs(Z1w - P[..., 2]) < depth_diff_max)
+
+        # projection Jacobian: d(uu,vv)/dP
+        iz = 1.0 / Z
+        du = jnp.stack([fx * iz, jnp.zeros_like(iz), -fx * X * iz * iz], -1)
+        dv = jnp.stack([jnp.zeros_like(iz), fy * iz, -fy * Y * iz * iz], -1)
+        # dP/dxi = [I | -hat(P)] rows
+        def JP(g_u, g_v, extra_z=None):
+            # gradient wrt P: g_u * du + g_v * dv (+ d r_z/dP = -e_z term)
+            gP = g_u[..., None] * du + g_v[..., None] * dv
+            if extra_z is not None:
+                gP = gP - extra_z
+            Jt = gP  # translation part
+            # rotation: d(exp(w^)P)/dw = -hat(P); g.(-hat(P) dw) = dw.(P x g)
+            Jw = jnp.cross(P, gP)
+            return jnp.concatenate([Jt, Jw], -1)  # (H, W, 6)
+
+        Ji = JP(gxw / sigma_i, gyw / sigma_i)
+        ez = jnp.zeros((H, W, 3)).at[..., 2].set(1.0 / sigma_z)
+        Jz = JP(zxw / sigma_z, zyw / sigma_z, extra_z=ez)
+
+        # Huber weights
+        def hw(r, k=1.345):
+            a = jnp.abs(r)
+            return jnp.where(a <= k, 1.0, k / jnp.maximum(a, 1e-12))
+
+        w = ok.astype(jnp.float32)
+        wi = w * hw(r_i)
+        wz = w * hw(r_z)
+
+        A = (jnp.einsum("hwi,hwj,hw->ij", Ji, Ji, wi)
+             + jnp.einsum("hwi,hwj,hw->ij", Jz, Jz, wz))
+        b = (jnp.einsum("hwi,hw,hw->i", Ji, r_i, wi)
+             + jnp.einsum("hwi,hw,hw->i", Jz, r_z, wz))
+        A = A + 1e-6 * jnp.eye(6)
+        xi = -jnp.linalg.solve(A, b)
+        T_new = se3.se3_exp(xi) @ T
+        return T_new, (A, jnp.mean(ok.astype(jnp.float32)))
+
+    T, (As, fracs) = jax.lax.scan(step, T0, None, length=iterations)
+    return T, As[-1], fracs[-1]
+
+
+def compute_rgbd_odometry(
+    source: RGBDImage,
+    target: RGBDImage,
+    intrinsics: CameraIntrinsics,
+    init: jax.Array = None,
+    levels: int = 3,
+    iterations: Tuple[int, ...] = (10, 10, 10),
+    depth_diff_max: float = 0.07,
+    min_inlier_fraction: float = 0.1,
+) -> OdometryResult:
+    """Hybrid RGB-D odometry (check90.py:202-206 semantics).
+
+    Returns target_from_source. Gray intensities are normalized to [0,1].
+    """
+    I0 = im.rgb_to_gray(source.color) if source.color.ndim == 3 else jnp.asarray(source.color, jnp.float32)
+    I1 = im.rgb_to_gray(target.color) if target.color.ndim == 3 else jnp.asarray(target.color, jnp.float32)
+    mx = jnp.maximum(jnp.maximum(jnp.max(I0), jnp.max(I1)), 1.0)
+    I0, I1 = I0 / mx, I1 / mx
+    Z0 = jnp.asarray(source.depth, jnp.float32)
+    Z1 = jnp.asarray(target.depth, jnp.float32)
+
+    pyr_I0 = im.pyramid(I0, levels)
+    pyr_I1 = im.pyramid(I1, levels)
+    # depth pyramids use stride decimation (blurring depth mixes surfaces)
+    pyr_Z0 = [Z0[:: 2 ** l, :: 2 ** l] for l in range(levels)]
+    pyr_Z1 = [Z1[:: 2 ** l, :: 2 ** l] for l in range(levels)]
+
+    T = jnp.eye(4, dtype=jnp.float32) if init is None else jnp.asarray(init, jnp.float32)
+    fx0, fy0 = jnp.float32(intrinsics.fx), jnp.float32(intrinsics.fy)
+    cx0, cy0 = jnp.float32(intrinsics.cx), jnp.float32(intrinsics.cy)
+    info = jnp.eye(6, dtype=jnp.float32)
+    frac = jnp.asarray(0.0)
+    for l in reversed(range(levels)):
+        fx, fy, cx, cy = _level_intr(fx0, fy0, cx0, cy0, l)
+        T, info, frac = _gn_level(
+            pyr_I0[l], pyr_Z0[l], pyr_I1[l], pyr_Z1[l],
+            fx, fy, cx, cy, T,
+            iterations=iterations[min(l, len(iterations) - 1)],
+            depth_diff_max=depth_diff_max, sigma_i=0.1, sigma_z=0.05,
+        )
+    success = frac >= min_inlier_fraction
+    return OdometryResult(success=success, transformation=T,
+                          information=info, inlier_fraction=frac)
