@@ -1,0 +1,187 @@
+"""Command-line interface.
+
+Covers the reference's executable surfaces: the streaming scan (main.py),
+the offline fragment pipeline with mini1.py:535-556's argparse flags, the
+real-time fusion variant (check90.py), the stereo calibration workflow
+(calib3_2.py batch mode), the live depth pipeline (depth4.py), and the NPZ
+inspection utilities (readPar.py / inspect_calibration_file.py).
+
+    python -m recon3d_tpu.cli scan      --frames 30 --camera synthetic
+    python -m recon3d_tpu.cli offline   --frames 16 --camera replay --replay_dir ...
+    python -m recon3d_tpu.cli fuse      --frames 30 --camera synthetic
+    python -m recon3d_tpu.cli calibrate --folder imgs/ --pattern 9x6 --square 0.025
+    python -m recon3d_tpu.cli depth     --npz rig.npz --width 960 --height 540
+    python -m recon3d_tpu.cli inspect   --npz rig.npz
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from recon3d_tpu.config import ScannerConfig, add_dataclass_args, dataclass_from_args
+
+
+def _make_camera(args, for_stereo=False):
+    from recon3d_tpu.camera.fake import FakeRGBDCamera, FakeStereoCamera, SyntheticRGBDCamera
+
+    if args.camera == "synthetic":
+        return SyntheticRGBDCamera(n_frames=args.frames)
+    if args.camera == "replay":
+        return FakeRGBDCamera(args.replay_dir, loop=False)
+    if args.camera == "realsense":
+        from recon3d_tpu.camera.realsense import RealSenseCamera
+
+        return RealSenseCamera()
+    raise SystemExit(f"unknown camera backend {args.camera}")
+
+
+def _intrinsics(args):
+    import jax.numpy as jnp
+
+    from recon3d_tpu.utils.types import CameraIntrinsics
+
+    if args.intrinsics:
+        return CameraIntrinsics.from_json(args.intrinsics)
+    if args.camera == "synthetic":
+        return CameraIntrinsics(fx=jnp.float32(525.0), fy=jnp.float32(525.0),
+                                cx=jnp.float32(319.5), cy=jnp.float32(239.5))
+    # D415 defaults (test/dataset/realsense/camera_intrinsic.json)
+    return CameraIntrinsics(fx=jnp.float32(616.6349), fy=jnp.float32(616.309),
+                            cx=jnp.float32(312.5787), cy=jnp.float32(242.2195))
+
+
+def _add_common(p):
+    p.add_argument("--camera", default="synthetic",
+                   choices=["synthetic", "replay", "realsense"])
+    p.add_argument("--replay_dir", default="/root/reference/test/output")
+    p.add_argument("--intrinsics", default=None, help="intrinsics JSON path")
+    p.add_argument("--frames", type=int, default=16)
+    add_dataclass_args(p, ScannerConfig)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="recon3d_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name in ("scan", "offline", "fuse"):
+        sp = sub.add_parser(name)
+        _add_common(sp)
+
+    cp = sub.add_parser("calibrate")
+    cp.add_argument("--folder", required=True)
+    cp.add_argument("--pattern", default="9x6")
+    cp.add_argument("--square", type=float, default=1.0)
+    cp.add_argument("--out", default="stereo_calibration.npz")
+    cp.add_argument("--report", default="calibration_report.txt")
+
+    dp = sub.add_parser("depth")
+    dp.add_argument("--npz", required=True)
+    dp.add_argument("--width", type=int, default=960)
+    dp.add_argument("--height", type=int, default=540)
+    dp.add_argument("--frames", type=int, default=10)
+    dp.add_argument("--out", default="depth_out")
+
+    ip = sub.add_parser("inspect")
+    ip.add_argument("--npz", required=True)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "inspect":
+        from recon3d_tpu.calib import npz as _npz
+
+        print(_npz.describe(args.npz))
+        return 0
+
+    if args.cmd == "calibrate":
+        from recon3d_tpu.calib.api import calibrate_from_folder
+
+        nx, ny = (int(v) for v in args.pattern.split("x"))
+        params, info = calibrate_from_folder(
+            args.folder, pattern_size=(nx, ny), square_size=args.square,
+            save_path=args.out, report_path=args.report)
+        print(f"calibrated {len(info['pairs_used'])} pairs; "
+              f"rms L/R {info['rms_left']:.4f}/{info['rms_right']:.4f}; "
+              f"baseline {params.baseline:.4f}; saved {args.out}")
+        return 0
+
+    if args.cmd == "depth":
+        import jax.numpy as jnp
+
+        from recon3d_tpu.camera.fake import FakeStereoCamera
+        from recon3d_tpu.depth.pipeline import DepthPipeline
+        from recon3d_tpu.utils import io as _io
+
+        pipe = DepthPipeline.from_npz(args.npz, (args.width, args.height))
+        cam = FakeStereoCamera(width=args.width, height=args.height,
+                               focal=float(np.asarray(pipe.params.P1)[0, 0]),
+                               baseline=abs(pipe.params.baseline) or 0.06,
+                               n_frames=args.frames)
+        cam.open()
+        import os
+
+        os.makedirs(args.out, exist_ok=True)
+        n = 0
+        while True:
+            f = cam.grab()
+            if f is None:
+                break
+            disp, depth, vis = pipe.process(f[0], f[1])
+            _io.write_color(os.path.join(args.out, f"disp_{n:04d}.png"),
+                            np.asarray(vis * 255, np.uint8))
+            n += 1
+        print(f"processed {n} frames -> {args.out}")
+        return 0
+
+    cfg = dataclass_from_args(ScannerConfig, args)
+    cam = _make_camera(args)
+    intr = _intrinsics(args)
+
+    if args.cmd == "scan":
+        from recon3d_tpu.pipeline.scanner import StreamingScanner
+
+        cam.open()
+        sc = StreamingScanner(cam, intr, cfg)
+        sc.start(max_frames=args.frames)
+        sc._thread.join()
+        sc.stop()
+        mesh, dens, paths = sc.finalize(
+            output_prefix=f"{cfg.output_dir}/captured_data_on_the_fly")
+        print(f"scan complete: {sc.frames} frames -> {paths}")
+        return 0
+
+    if args.cmd == "offline":
+        from recon3d_tpu.pipeline.offline import Scanner3D
+
+        sc = Scanner3D(cam, intr, cfg)
+        path = sc.run(n_frames=args.frames)
+        print(f"offline pipeline complete -> {path}")
+        return 0
+
+    if args.cmd == "fuse":
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+
+        import time
+
+        sf = StreamingFusion(cam, intr, cfg,
+                             resolution=cfg.fusion.grid_resolution).start()
+        while any(t.is_alive() for t in sf._threads) and sf.frames_integrated < args.frames:
+            time.sleep(0.25)
+        sf.stop()
+        mesh = sf.extract_mesh()
+        from recon3d_tpu.utils import io as _io
+
+        import os
+
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        out = os.path.join(cfg.output_dir, "fused_mesh.ply")
+        _io.write_triangle_mesh(out, mesh)
+        print(f"fused {sf.frames_integrated} frames "
+              f"({sf.odometry_failures} odometry failures) -> {out}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""Streaming scan -> align -> accumulate -> mesh pipeline (main.py twin).
+
+Mirrors the reference's packaged pipeline (main.py:14-90): a capture thread
+accumulates an aligned combined cloud until stopped, then the offline chain
+runs: process -> normals -> Poisson -> save. Differences are TPU-idiomatic:
+the per-frame align step is one jit program, the combined cloud lives in a
+fixed-capacity device buffer (no host round-trips), and stopping is an
+explicit Event (the reference blocks on input(), main.py:64-66).
+"""
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import jax.numpy as jnp
+
+from recon3d_tpu.config import ScannerConfig
+from recon3d_tpu.mesh_reconstruction import MeshReconstruction
+from recon3d_tpu.mesh_saving import MeshSaving
+from recon3d_tpu.normal_estimation import NormalEstimation
+from recon3d_tpu.pointcloud_alignment import PointCloudAlignment
+from recon3d_tpu.pointcloud_capture import PointCloudCapture
+from recon3d_tpu.pointcloud_processing import PointCloudProcessing
+from recon3d_tpu.utils.logging import FPSCounter, make_logger
+from recon3d_tpu.utils.types import CameraIntrinsics, PointCloud, compact, concatenate
+from recon3d_tpu.utils import io
+
+
+class StreamingScanner:
+    """The main.py orchestration: wire capture/align/process/mesh/save."""
+
+    def __init__(self, camera, intrinsics: CameraIntrinsics,
+                 config: ScannerConfig = ScannerConfig()):
+        self.camera = camera
+        self.config = config
+        self.capture = PointCloudCapture(
+            intrinsics, voxel_size=config.processing.capture_voxel_size,
+            depth_trunc=config.stream.depth_trunc)
+        self.alignment = PointCloudAlignment(config.registration)
+        self.processing = PointCloudProcessing(config.processing)
+        self.normals = NormalEstimation(config.processing)
+        self.reconstruction = MeshReconstruction(config.mesh)
+        self.saving = MeshSaving()
+        self.logger = make_logger("scanner", config.output_dir)
+        self.stop_event = threading.Event()
+        self.combined: Optional[PointCloud] = None
+        self._thread: Optional[threading.Thread] = None
+        self.frames = 0
+
+    def _scan_loop(self, max_frames: Optional[int]):
+        """simple_scanning_loop (main.py:34-52)."""
+        fps = FPSCounter(self.logger, "scan")
+        cap = self.config.processing.capacity
+        while not self.stop_event.is_set():
+            if max_frames is not None and self.frames >= max_frames:
+                break
+            pc = self.capture.capture_point_cloud(self.camera)
+            if pc is None or int(pc.count()) == 0:
+                continue  # skip invalid frame (main.py:49-50)
+            pc = compact(pc, min(pc.capacity, cap // 4))
+            if self.combined is None:
+                self.combined = compact(pc, cap)
+            else:
+                aligned, result = self.alignment.align_point_clouds(pc, self.combined)
+                if not bool(result.is_good(self.config.registration.fitness_min,
+                                           self.config.registration.rmse_max)):
+                    self.logger.warning("frame %d failed quality gate "
+                                        "(fitness=%.3f rmse=%.4f), skipping",
+                                        self.frames, float(result.fitness),
+                                        float(result.inlier_rmse))
+                    continue
+                self.combined = compact(concatenate(self.combined, aligned), cap)
+            self.frames += 1
+            fps.tick()
+
+    def start(self, max_frames: Optional[int] = None) -> None:
+        self.stop_event.clear()
+        self._thread = threading.Thread(target=self._scan_loop,
+                                        args=(max_frames,), daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.stop_event.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30.0)
+
+    def finalize(self, output_prefix: str = "captured_data_on_the_fly"):
+        """The post-scan chain (main.py:64-91): save raw cloud, process,
+        normals, Poisson, save mesh. Returns (mesh, densities, paths)."""
+        if self.combined is None:
+            raise RuntimeError("nothing captured")
+        raw_path = f"{output_prefix}.ply"
+        io.write_point_cloud(raw_path, self.combined)
+        pc = self.processing.process_point_cloud(self.combined)
+        pc = self.normals.estimate_normals(pc)
+        mesh, densities = self.reconstruction.reconstruct_mesh(pc)
+        paths = self.saving.save_mesh(mesh, densities,
+                                      filename=f"{output_prefix}_mesh.ply")
+        self.logger.info("saved %s", paths)
+        return mesh, densities, (raw_path,) + tuple(p for p in paths if p)

@@ -1,0 +1,169 @@
+"""End-to-end pipeline tests on synthetic scenes (hardware-free)."""
+import glob
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recon3d_tpu.camera.fake import SyntheticRGBDCamera
+from recon3d_tpu.config import (
+    FusionConfig,
+    MeshConfig,
+    ProcessingConfig,
+    RegistrationConfig,
+    ScannerConfig,
+    StreamConfig,
+)
+from recon3d_tpu.utils.types import CameraIntrinsics
+
+
+def _small_cfg(tmp_path):
+    return ScannerConfig(
+        stream=StreamConfig(width=160, height=120, depth_trunc=2.5),
+        processing=ProcessingConfig(capture_voxel_size=0.02, voxel_size=0.02,
+                                    outlier_nb_neighbors=10, radius_nb_points=4,
+                                    radius=0.05, normal_radius=0.08,
+                                    normal_max_nn=20, capacity=1 << 14),
+        registration=RegistrationConfig(voxel_size=0.03, icp_threshold=0.06,
+                                        icp_max_iterations=30),
+        fusion=FusionConfig(voxel_size=0.015, sdf_trunc=0.06,
+                            grid_resolution=96, depth_trunc=2.5),
+        mesh=MeshConfig(poisson_depth=5, smoothing_iterations=2),
+        output_dir=str(tmp_path),
+        max_fragments=8,
+    )
+
+
+def _intr():
+    return CameraIntrinsics(fx=jnp.float32(130.0), fy=jnp.float32(130.0),
+                            cx=jnp.float32(79.5), cy=jnp.float32(59.5))
+
+
+def _cam(n=4, step=0.015):
+    return SyntheticRGBDCamera(width=160, height=120, fx=130.0, fy=130.0,
+                               n_frames=n, step=step)
+
+
+class TestStreamingScanner:
+    def test_scan_accumulate_finalize(self, tmp_path):
+        from recon3d_tpu.pipeline.scanner import StreamingScanner
+
+        cam = _cam(4)
+        cam.open()
+        sc = StreamingScanner(cam, _intr(), _small_cfg(tmp_path))
+        sc.start(max_frames=4)
+        sc._thread.join(timeout=300)
+        sc.stop()
+        assert sc.frames >= 2
+        assert int(sc.combined.count()) > 500
+        mesh, dens, paths = sc.finalize(output_prefix=str(tmp_path / "scan"))
+        for p in paths:
+            assert os.path.exists(p)
+        verts, tris, _, _ = mesh.to_numpy()
+        assert len(tris) > 200
+
+
+class TestOfflinePipeline:
+    def test_full_offline_run(self, tmp_path):
+        from recon3d_tpu.pipeline.offline import Scanner3D
+        from recon3d_tpu.utils import io
+
+        sc = Scanner3D(_cam(4), _intr(), _small_cfg(tmp_path))
+        path = sc.run(n_frames=4)
+        assert os.path.exists(path)
+        d = io.read_ply(path)
+        assert len(d["points"]) > 500 and "triangles" in d
+        # frames checkpointed to disk (mini1.py per-frame saving)
+        assert len(glob.glob(str(tmp_path / "color_*.png"))) == 4
+        assert len(glob.glob(str(tmp_path / "depth_*.png"))) == 4
+        # pose graph nodes should track the (small) true camera motion
+        assert len(sc.pose_graph.nodes) == 4
+        for i, node in enumerate(sc.pose_graph.nodes):
+            # world_from_frame ~ inv(true camera_from_world), translation small
+            assert np.isfinite(node).all()
+
+    def test_offline_reload_from_disk(self, tmp_path):
+        from recon3d_tpu.pipeline.offline import Scanner3D
+
+        sc = Scanner3D(_cam(3), _intr(), _small_cfg(tmp_path))
+        sc.capture_frames(3)
+        sc2 = Scanner3D(_cam(0), _intr(), _small_cfg(tmp_path))
+        n = sc2.load_rgbd_frames(str(tmp_path))
+        assert n == 3
+        np.testing.assert_allclose(sc2.frames[0][1], sc.frames[0][1], atol=2e-3)
+
+
+class TestStreamingFusion:
+    def test_odometry_fusion_tracks_truth(self, tmp_path):
+        import time
+
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+
+        cam = _cam(5, step=0.01)
+        cfg = _small_cfg(tmp_path)
+        sf = StreamingFusion(cam, _intr(), cfg, resolution=96,
+                             volume_origin=(-0.72, -0.72, 0.3)).start()
+        deadline = time.time() + 300
+        while any(t.is_alive() for t in sf._threads) and time.time() < deadline:
+            if sf.frames_integrated >= 5:
+                break
+            time.sleep(0.2)
+        sf.stop()
+        assert sf.frames_integrated >= 4
+        assert sf.odometry_failures == 0
+        # trajectory vs ground truth: world_from_cam(k) ~ inv(true_pose(k))
+        for k in range(1, min(4, len(sf.trajectory))):
+            true_wfc = np.linalg.inv(cam.true_pose(k))
+            err = np.linalg.norm(sf.trajectory[k][:3, 3] - true_wfc[:3, 3])
+            assert err < 0.01, f"frame {k} drift {err*1000:.1f} mm"
+        mesh = sf.extract_mesh()
+        verts, tris, _, _ = mesh.to_numpy()
+        assert len(tris) > 500
+
+
+class TestVisualizer:
+    def test_render_cloud_and_mesh_png(self, tmp_path):
+        from recon3d_tpu.pipeline.visualizer import GeometryVisualizer
+        from recon3d_tpu.utils.types import PointCloud
+
+        rng = np.random.RandomState(0)
+        pc = PointCloud.from_numpy(rng.randn(500, 3).astype(np.float32),
+                                   colors=rng.rand(500, 3).astype(np.float32))
+        vis = GeometryVisualizer(width=320, height=240)
+        vis.update(pc)
+        p = vis.capture(str(tmp_path / "cloud.png"))
+        assert os.path.getsize(p) > 1000
+        vis.destroy()
+
+
+class TestCLI:
+    def test_inspect(self, capsys):
+        from recon3d_tpu.cli import main
+
+        rc = main(["inspect", "--npz",
+                   "/root/reference/Calib_depth/jetson_stereo_8MP_stereo.npz"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Baseline" in out
+
+    def test_scan_cli_smoke(self, tmp_path, capsys):
+        from recon3d_tpu.cli import main
+
+        rc = main([
+            "scan", "--camera", "synthetic", "--frames", "3",
+            "--output_dir", str(tmp_path),
+            "--stream.width", "160", "--stream.height", "120",
+            "--processing.capture_voxel_size", "0.02",
+            "--processing.voxel_size", "0.02",
+            "--processing.capacity", str(1 << 14),
+            "--processing.outlier_nb_neighbors", "10",
+            "--processing.radius_nb_points", "4",
+            "--processing.radius", "0.05",
+            "--registration.voxel_size", "0.03",
+            "--registration.icp_threshold", "0.06",
+            "--mesh.poisson_depth", "5",
+            "--mesh.smoothing_iterations", "2",
+        ])
+        assert rc == 0
+        assert "scan complete" in capsys.readouterr().out
