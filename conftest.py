@@ -1,11 +1,16 @@
 """Pytest root conftest: force an 8-device virtual CPU mesh for all tests.
 
-Tests validate multi-chip sharding logic without TPU hardware, per the
-standard JAX pattern (xla_force_host_platform_device_count).
+The 8-device virtual mesh (xla_force_host_platform_device_count) backs the
+sharding tests in tests/test_parallel.py; everything else runs single-device
+on the same CPU platform.
 
 Note: this environment's sitecustomize imports jax at interpreter startup and
 registers the 'axon' TPU backend, so setting JAX_PLATFORMS here is too late —
 we must also update jax.config before any backend is initialized.
+
+A persistent compilation cache under .jax_cache/ keeps repeat suite runs from
+re-paying XLA compile time (the round-1 suite burned 34 minutes, mostly in
+compiles).
 """
 import os
 
@@ -18,5 +23,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
