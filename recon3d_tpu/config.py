@@ -35,6 +35,10 @@ class StereoMatcherConfig:
     mode: str = "sgm4"  # 'sgm4' (4-path ~ SGBM_3WAY class), 'sgm8', 'bm'
     subpixel: bool = True
     lr_check: bool = True
+    # 'auto': fused Pallas kernels on TPU (4-path modes), XLA scan elsewhere.
+    backend: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    # 'auto': box-count speckle on the Pallas path, exact CCL on XLA.
+    speckle_method: str = "auto"  # 'auto' | 'fast' | 'ccl'
 
     def p1(self) -> int:
         return 8 * self.channels * self.block_size ** 2

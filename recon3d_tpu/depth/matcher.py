@@ -44,19 +44,44 @@ def compute_disparity(
     else:
         num_directions = 8 if mode == "sgm8" else 4
         p1, p2 = float(matcher.p1()), float(matcher.p2())
-    disp, valid = _sgm.sgm_disparity(
-        left_gray, right_gray,
-        num_disparities=matcher.num_disparities,
-        block_size=matcher.block_size,
-        p1=p1, p2=p2,
-        num_directions=num_directions,
-        uniqueness_ratio=matcher.uniqueness_ratio,
-        disp12_max_diff=matcher.disp12_max_diff if matcher.lr_check else -1,
-        speckle_window_size=matcher.speckle_window_size,
-        speckle_range=float(matcher.speckle_range),
-        pre_filter_cap=matcher.pre_filter_cap,
-        do_subpixel=matcher.subpixel,
-    )
+
+    backend = matcher.backend
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and num_directions == 4 else "xla")
+    if backend == "pallas" and num_directions == 4:
+        from recon3d_tpu.depth import sgm_pallas as _sgmp
+
+        speckle_method = matcher.speckle_method
+        if speckle_method == "auto":
+            speckle_method = "fast"
+        disp, valid = _sgmp.sgm_disparity_pallas(
+            left_gray, right_gray,
+            num_disparities=matcher.num_disparities,
+            block_size=matcher.block_size,
+            p1=p1, p2=p2,
+            uniqueness_ratio=matcher.uniqueness_ratio,
+            disp12_max_diff=matcher.disp12_max_diff if matcher.lr_check else -1,
+            speckle_window_size=matcher.speckle_window_size,
+            speckle_range=float(matcher.speckle_range),
+            pre_filter_cap=matcher.pre_filter_cap,
+            do_subpixel=matcher.subpixel,
+            speckle_method=speckle_method,
+        )
+    else:
+        disp, valid = _sgm.sgm_disparity(
+            left_gray, right_gray,
+            num_disparities=matcher.num_disparities,
+            block_size=matcher.block_size,
+            p1=p1, p2=p2,
+            num_directions=num_directions,
+            uniqueness_ratio=matcher.uniqueness_ratio,
+            disp12_max_diff=matcher.disp12_max_diff if matcher.lr_check else -1,
+            speckle_window_size=matcher.speckle_window_size,
+            speckle_range=float(matcher.speckle_range),
+            pre_filter_cap=matcher.pre_filter_cap,
+            do_subpixel=matcher.subpixel,
+        )
     if with_wls:
         disp = _wls.wls_refine(disp, valid, left_gray,
                                lam=wls.lam, sigma_color=wls.sigma_color)

@@ -21,6 +21,12 @@ from recon3d_tpu.calib.npz import StereoParams
 from recon3d_tpu.config import StereoMatcherConfig, WLSConfig
 from recon3d_tpu.depth import matcher as _matcher
 from recon3d_tpu.ops import image as im
+from recon3d_tpu.ops import warp as _warp
+
+
+def _to_gray(x):
+    x = jnp.asarray(x, jnp.float32)
+    return im.rgb_to_gray(x) if x.ndim == 3 else x
 
 
 @partial(jax.jit, static_argnames=("mcfg", "wcfg", "with_wls"))
@@ -37,14 +43,32 @@ def depth_step(
     """One fused frame step: raw pair -> (disparity, depth, jet visualization).
 
     Equivalent of depth4.py:246-262 (remap -> cvtColor -> SGBM x2 -> WLS ->
-    normalize -> colormap) as a single XLA program.
+    normalize -> colormap) as a single XLA program. Gather-based remap; the
+    production path is depth_step_planned (two-pass gather-free warp).
     """
-    def to_gray(x):
-        x = jnp.asarray(x, jnp.float32)
-        return im.rgb_to_gray(x) if x.ndim == 3 else x
+    lg = im.remap(_to_gray(left_raw), map1x, map1y)
+    rg = im.remap(_to_gray(right_raw), map2x, map2y)
+    disp, valid = _matcher.compute_disparity(lg, rg, mcfg, wcfg, with_wls)
+    depth = _matcher.disparity_to_depth(disp, Q)
+    vis = im.colormap_jet(im.normalize_minmax(jnp.where(valid, disp, 0.0), 0.0, 1.0))
+    return disp, depth, vis
 
-    lg = im.remap(to_gray(left_raw), map1x, map1y)
-    rg = im.remap(to_gray(right_raw), map2x, map2y)
+
+@partial(jax.jit, static_argnames=("mcfg", "wcfg", "with_wls"))
+def depth_step_planned(
+    left_raw: jax.Array,
+    right_raw: jax.Array,
+    plan1: _warp.RemapPlan,
+    plan2: _warp.RemapPlan,
+    Q: jax.Array,
+    mcfg: StereoMatcherConfig,
+    wcfg: WLSConfig,
+    with_wls: bool = True,
+):
+    """depth_step with the gather-free two-pass rectification warp
+    (ops.warp): the TPU hot-path variant of depth4.py:246-262."""
+    lg = _warp.remap_two_pass(_to_gray(left_raw), plan1)
+    rg = _warp.remap_two_pass(_to_gray(right_raw), plan2)
     disp, valid = _matcher.compute_disparity(lg, rg, mcfg, wcfg, with_wls)
     depth = _matcher.disparity_to_depth(disp, Q)
     vis = im.colormap_jet(im.normalize_minmax(jnp.where(valid, disp, 0.0), 0.0, 1.0))
@@ -80,6 +104,15 @@ class DepthPipeline:
                                         params.R2, params.P2, image_size)
         self.maps = tuple(jax.device_put(m) for m in (m1x, m1y, m2x, m2y))
         self.Q = jnp.asarray(params.Q, jnp.float32)
+        # two-pass gather-free warp plans (ops.warp); falls back to the
+        # gather remap when a map isn't row-monotonic
+        try:
+            import numpy as _np
+
+            self.plans = (_warp.build_remap_plan(_np.asarray(m1x), _np.asarray(m1y)),
+                          _warp.build_remap_plan(_np.asarray(m2x), _np.asarray(m2y)))
+        except ValueError:
+            self.plans = None
 
     @classmethod
     def from_npz(cls, path: str, image_size: Tuple[int, int], **kw) -> "DepthPipeline":
@@ -107,6 +140,12 @@ class DepthPipeline:
         self.wls_config = self.wls_config.adjust(key)
 
     def process(self, left_raw, right_raw):
+        if self.plans is not None:
+            return depth_step_planned(
+                jnp.asarray(left_raw), jnp.asarray(right_raw),
+                self.plans[0], self.plans[1], self.Q,
+                self.matcher_config, self.wls_config, self.with_wls,
+            )
         m1x, m1y, m2x, m2y = self.maps
         return depth_step(
             jnp.asarray(left_raw), jnp.asarray(right_raw),

@@ -208,6 +208,55 @@ def speckle_filter(disp: jax.Array, valid: jax.Array, max_range: float = 32.0,
     return valid & (region_size > window_size)
 
 
+@partial(jax.jit, static_argnames=("max_range", "window_size", "side",
+                                   "max_disparity"))
+def speckle_filter_fast(disp: jax.Array, valid: jax.Array,
+                        max_range: float = 32.0, window_size: int = 50,
+                        side: int | None = None,
+                        max_disparity: int = 256) -> jax.Array:
+    """Gather-free approximate speckle removal for the TPU hot path.
+
+    cv2.filterSpeckles (depth2.py speckle 50/32) removes connected
+    components (neighbor step <= max_range) smaller than window_size pixels
+    by sequential flood fill. Exact labeling needs gathers (TPU has no
+    vector gather; the round-1 pointer-jumping port cost ~770 ms/frame at
+    1080p). This approximation scores each pixel by the number of valid
+    same-disparity-band pixels (band width max_range, two phase-shifted
+    binnings, max of the two scores) inside a side x side window, and
+    invalidates scores <= window_size. Pure box filters: ~1 ms at 1080p.
+
+    Approximation vs cv2: (a) thin connected structures longer than `side`
+    can be under-counted and lost; (b) disconnected same-band mass inside
+    the window can rescue a true speckle. Both are rare on SGM outputs;
+    agreement with the exact filter is asserted in tests. Use
+    speckle_filter() when exact cv2 semantics matter more than speed.
+    """
+    if side is None:
+        # window big enough that a compact component of window_size pixels
+        # (diameter ~2.5*sqrt(size) even for ragged blobs) fits entirely
+        side = 2 * int(2.5 * float(window_size) ** 0.5 / 2.0 + 1.0) + 1
+    r = side // 2
+    H, W = disp.shape
+    occ_weight = valid.astype(jnp.float32)
+
+    def box2d(a):
+        ap = jnp.pad(a, ((r + 1, r), (r + 1, r)))
+        c = jnp.cumsum(jnp.cumsum(ap, axis=0), axis=1)
+        return (c[side:, side:] - c[:-side, side:]
+                - c[side:, :-side] + c[:-side, :-side])
+
+    nbins = int(max_disparity / max_range) + 2
+    score = jnp.zeros((H, W), jnp.float32)
+    for phase in (0.0, 0.5 * max_range):
+        bin_id = jnp.floor((disp + phase) / max_range).astype(jnp.int32)
+        cnt = jnp.zeros((H, W), jnp.float32)
+        for b in range(nbins):
+            inb = bin_id == b
+            cnt = cnt + jnp.where(inb, box2d(occ_weight * inb), 0.0)
+        score = jnp.maximum(score, cnt)
+    return valid & (score > window_size)
+
+
 @partial(jax.jit, static_argnames=(
     "num_disparities", "min_disparity", "block_size", "num_directions",
     "uniqueness_ratio", "disp12_max_diff", "speckle_window_size", "do_subpixel",
@@ -254,7 +303,14 @@ def sgm_disparity(
         p2 = p2 / (32.0 * block_size * block_size) * 64.0
     else:
         raise ValueError(f"unknown cost kind {cost_kind}")
-    vol = _cost.box_aggregate(jnp.minimum(vol, 1e5), block_size)
+    # Zero (not sentinel) out-of-range cells before the box: 1e5-scale
+    # sentinels inside the f32 cumsums push prefixes past 2^24 and cost the
+    # low bits of every downstream window. The touched-window mask is exact:
+    # [x-r, x+r] crosses x - (min_disparity+d) < 0 iff x < min_disparity+d+r.
+    vol = _cost.box_aggregate(jnp.where(vol > 1e8, 0.0, vol), block_size)
+    xi = jax.lax.broadcasted_iota(jnp.int32, vol.shape, 1)
+    di = jax.lax.broadcasted_iota(jnp.int32, vol.shape, 2)
+    vol = jnp.where(xi < min_disparity + di + block_size // 2, 1e5, vol)
 
     S = aggregate(vol, p1, p2, num_directions)
 

@@ -1,0 +1,226 @@
+"""Approximate neighbor search via voxel-grid binning: the large-N path.
+
+The blocked brute-force kernels in ops.knn are exact and MXU-friendly but
+O(N^2) — fine at fragment scale (8-64k points), hopeless at the reference's
+10M-point benchmark scale (test/gpu-performance.py:23-46). This module bins
+points into a fixed-capacity dense voxel table and searches only the 27
+neighboring cells, TPU-shaped:
+
+- ONE data-dependent scatter builds the (G^3, C) table (sort by cell id ->
+  rank within cell -> scatter); everything after is regular.
+- The 27-cell neighborhood never gathers: the whole table is ROLLED along
+  each grid axis (jnp.roll = lane/sublane moves), so each offset aligns
+  candidate cells with query cells, and distances are batched (C x C)
+  blocks over all cells at once.
+- Results are exact for any neighbor within `radius` of a query, provided
+  neither point overflowed its cell capacity (cell edge = radius, so the
+  27-neighborhood covers the radius ball). Beyond-radius neighbors may be
+  missed — callers use radius-bounded (hybrid) semantics anyway.
+
+Capacity overflow drops points from the DB side (they still get their own
+results if they fit; the returned `overflow_fraction` reports the drop rate
+so callers/tests can assert < 1%).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(1e30)
+
+
+class GridKNNResult(NamedTuple):
+    indices: jax.Array  # (N, k) int32 into the original point order
+    sq_dists: jax.Array  # (N, k) f32, BIG where no neighbor
+    overflow_fraction: jax.Array  # scalar f32: points dropped from cells
+
+
+def _bin_points(p, valid, radius, grid_size, cell_capacity):
+    """Sort points into a (G^3*C, ...) slot table. Returns table of points,
+    slot -> original-index map, per-point slot id (or -1), overflow frac."""
+    G, C = grid_size, cell_capacity
+    N = p.shape[0]
+    lo = jnp.min(jnp.where(valid[:, None], p, BIG), axis=0) - 0.5 * radius
+    cell = jnp.floor((p - lo) / radius).astype(jnp.int32)
+    inb = jnp.all((cell >= 0) & (cell < G), axis=1) & valid
+    cell = jnp.clip(cell, 0, G - 1)
+    cid = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
+    cid = jnp.where(inb, cid, G * G * G)  # out-of-grid/invalid -> trash cell
+
+    order = jnp.argsort(cid)
+    sc = cid[order]
+    sp = p[order]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    isnew = jnp.concatenate([jnp.array([True]), sc[1:] != sc[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(isnew, iota, 0))
+    rank = iota - seg_start
+    ok = (rank < C) & (sc < G * G * G)
+    n_valid = jnp.maximum(jnp.sum(inb.astype(jnp.float32)), 1.0)
+    overflow = 1.0 - jnp.sum(ok.astype(jnp.float32)) / n_valid
+
+    n_slots = G * G * G * C
+    tid = jnp.where(ok, sc * C + rank, n_slots)  # padded trash slot
+    table = jnp.full((n_slots + 1, 3), BIG, jnp.float32).at[tid].set(sp)
+    slot_orig = jnp.full((n_slots + 1,), -1, jnp.int32).at[tid].set(
+        order.astype(jnp.int32))
+    # per-original-point slot (for reading results back): -1 if dropped
+    point_slot = jnp.full((N,), -1, jnp.int32).at[order].set(
+        jnp.where(ok, tid, -1).astype(jnp.int32))
+    return table[:-1], slot_orig[:-1], point_slot, overflow
+
+
+def _neighbor_offsets():
+    return [(dx, dy, dz)
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+
+
+@partial(jax.jit, static_argnames=("k", "grid_size", "cell_capacity"))
+def grid_knn(
+    points: jax.Array,
+    valid: jax.Array,
+    radius: float,
+    k: int = 30,
+    grid_size: int = 64,
+    cell_capacity: int = 8,
+) -> GridKNNResult:
+    """Approximate k-NN (excluding self) among neighbors within ~radius.
+
+    Exact for all neighbor pairs closer than `radius` when neither point
+    overflows its cell; pairs farther than radius may be found (up to
+    2*sqrt(3)*radius) but are not guaranteed. Matches ops.knn's contract
+    otherwise: (indices (N, k), sq_dists (N, k)).
+    """
+    p = jnp.asarray(points, jnp.float32)
+    N = p.shape[0]
+    G, C = grid_size, cell_capacity
+    table, slot_orig, point_slot, overflow = _bin_points(
+        p, valid, radius, G, C)
+
+    q = table.reshape(G, G, G, C, 3)
+    qi = slot_orig.reshape(G, G, G, C)
+    best_d = jnp.full((G, G, G, C, k), BIG, jnp.float32)
+    best_i = jnp.zeros((G, G, G, C, k), jnp.int32)
+
+    for off in _neighbor_offsets():
+        cand = q
+        cidx = qi
+        for ax, sh in enumerate(off):
+            if sh:
+                # new[x] = old[x + sh]: neighbor cell at coordinate +sh
+                cand = jnp.roll(cand, -sh, axis=ax)
+                cidx = jnp.roll(cidx, -sh, axis=ax)
+        # mask cells whose neighbor wrapped around the grid edge
+        wrap = jnp.zeros((G, G, G), bool)
+        for ax, sh in enumerate(off):
+            if sh:
+                coord = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), ax)
+                wrap = wrap | (coord + sh < 0) | (coord + sh >= G)
+        d2 = jnp.sum((q[..., :, None, :] - cand[..., None, :, :]) ** 2,
+                     axis=-1)  # (G, G, G, Cq, Cc)
+        d2 = jnp.where(wrap[..., None, None], BIG, d2)
+        d2 = jnp.where(cidx[..., None, :, ] < 0, BIG, d2)
+        if off == (0, 0, 0):
+            eye = jnp.eye(C, dtype=bool)
+            d2 = jnp.where(eye, BIG, d2)
+        merged_d = jnp.concatenate([best_d, d2], axis=-1)
+        merged_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(cidx[..., None, :],
+                                      d2.shape).astype(jnp.int32)], axis=-1)
+        neg, sel = jax.lax.top_k(-merged_d, k)
+        best_d = -neg
+        best_i = jnp.take_along_axis(merged_i, sel, axis=-1)
+
+    # read results back to original point order
+    res_d = best_d.reshape(G * G * G * C, k)
+    res_i = best_i.reshape(G * G * G * C, k)
+    slot = jnp.maximum(point_slot, 0)
+    out_d = jnp.where((point_slot >= 0)[:, None], res_d[slot], BIG)
+    out_i = jnp.where((point_slot >= 0)[:, None], res_i[slot], 0)
+    out_d = jnp.where(out_d >= BIG, BIG, jnp.maximum(out_d, 0.0))
+    return GridKNNResult(out_i.astype(jnp.int32), out_d, overflow)
+
+
+@partial(jax.jit, static_argnames=("grid_size", "cell_capacity"))
+def grid_nearest_neighbor(
+    query: jax.Array,
+    query_valid: jax.Array,
+    db: jax.Array,
+    db_valid: jax.Array,
+    radius: float,
+    grid_size: int = 64,
+    cell_capacity: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Cross-set 1-NN among db points within ~radius: the large-N ICP
+    correspondence kernel. Returns (indices (Nq,), sq_dists (Nq,)); queries
+    with no in-radius neighbor get sq_dist BIG (ICP's threshold rejects
+    them, matching the brute-force path's behavior)."""
+    qp = jnp.asarray(query, jnp.float32)
+    G, C = grid_size, cell_capacity
+    # bin db and queries on a SHARED origin so cells align
+    both_valid = jnp.concatenate([query_valid, db_valid])
+    both = jnp.concatenate([qp, jnp.asarray(db, jnp.float32)])
+    lo = jnp.min(jnp.where(both_valid[:, None], both, BIG), axis=0) - 0.5 * radius
+
+    def bin_with_origin(p, valid):
+        N = p.shape[0]
+        cell = jnp.floor((p - lo) / radius).astype(jnp.int32)
+        inb = jnp.all((cell >= 0) & (cell < G), axis=1) & valid
+        cell = jnp.clip(cell, 0, G - 1)
+        cid = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
+        cid = jnp.where(inb, cid, G * G * G)
+        order = jnp.argsort(cid)
+        sc = cid[order]
+        sp = p[order]
+        iota = jnp.arange(N, dtype=jnp.int32)
+        isnew = jnp.concatenate([jnp.array([True]), sc[1:] != sc[:-1]])
+        rank = iota - jax.lax.cummax(jnp.where(isnew, iota, 0))
+        ok = (rank < C) & (sc < G * G * G)
+        n_slots = G * G * G * C
+        tid = jnp.where(ok, sc * C + rank, n_slots)
+        table = jnp.full((n_slots + 1, 3), BIG, jnp.float32).at[tid].set(sp)
+        slot_orig = jnp.full((n_slots + 1,), -1, jnp.int32).at[tid].set(
+            order.astype(jnp.int32))
+        point_slot = jnp.full((N,), -1, jnp.int32).at[order].set(
+            jnp.where(ok, tid, -1).astype(jnp.int32))
+        return table[:-1], slot_orig[:-1], point_slot
+
+    qt, _, q_slot = bin_with_origin(qp, query_valid)
+    dt, d_orig, _ = bin_with_origin(jnp.asarray(db, jnp.float32), db_valid)
+
+    qg = qt.reshape(G, G, G, C, 3)
+    dg = dt.reshape(G, G, G, C, 3)
+    ig = d_orig.reshape(G, G, G, C)
+    best_d = jnp.full((G, G, G, C), BIG, jnp.float32)
+    best_i = jnp.zeros((G, G, G, C), jnp.int32)
+
+    for off in _neighbor_offsets():
+        cand, cidx = dg, ig
+        for ax, sh in enumerate(off):
+            if sh:
+                cand = jnp.roll(cand, -sh, axis=ax)
+                cidx = jnp.roll(cidx, -sh, axis=ax)
+        wrap = jnp.zeros((G, G, G), bool)
+        for ax, sh in enumerate(off):
+            if sh:
+                coord = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), ax)
+                wrap = wrap | (coord + sh < 0) | (coord + sh >= G)
+        d2 = jnp.sum((qg[..., :, None, :] - cand[..., None, :, :]) ** 2,
+                     axis=-1)
+        d2 = jnp.where(wrap[..., None, None], BIG, d2)
+        d2 = jnp.where(cidx[..., None, :] < 0, BIG, d2)
+        md = jnp.min(d2, axis=-1)
+        mi = jnp.argmin(d2, axis=-1)
+        take = md < best_d
+        best_d = jnp.where(take, md, best_d)
+        best_i = jnp.where(take, jnp.take_along_axis(
+            cidx, mi.reshape(G, G, G, C), axis=-1), best_i)
+
+    res_d = best_d.reshape(-1)
+    res_i = best_i.reshape(-1)
+    slot = jnp.maximum(q_slot, 0)
+    out_d = jnp.where(q_slot >= 0, res_d[slot], BIG)
+    out_i = jnp.where(q_slot >= 0, res_i[slot], 0)
+    return out_i.astype(jnp.int32), jnp.where(query_valid, out_d, BIG)

@@ -1,0 +1,181 @@
+"""Gather-free image warping: cv2.remap for TPU via two 1-D resampling passes.
+
+TPU has no vector gather, so the obvious per-pixel bilinear remap
+(ops.image.remap) costs >100 ms at 1080p. Rectification maps are smooth and
+invertible along rows, which admits the classic two-pass decomposition
+(Catmull-Smith): a vertical resampling pass then a horizontal one, with the
+intermediate vertical map precomputed on the host so the sample LOCATIONS
+compose exactly:
+
+    out(x', y') = src(mx(x', y'), my(x', y'))
+    pass V:  T(x, y')   = src(x, myv(x, y')),  myv(x, y') = my(mx^-1(x; y'), y')
+    pass H:  out(x', y') = T(mx(x', y'), y')
+
+Each 1-D pass is a per-pixel variable shift done without gathers:
+  1. a COARSE integer shift that is constant along the shift axis (per-column
+     for the vertical pass, per-row for the horizontal one), applied as
+     log2(range) masked rolls — the masked-roll composition is exact because
+     every element on a roll line shifts by the same amount;
+  2. a small RESIDUAL shift bounded at plan-build time, applied as a plane
+     sweep: for each s in [-R, R], roll once and select where floor(residual)
+     == s, accumulating both bilinear taps.
+
+Interpolation note: two chained linear interpolations are not bitwise
+cv2.remap(INTER_LINEAR); differences are sub-level on smooth images (tested
+against cv2 in tests/test_warp.py). Out-of-image samples are 0 with a False
+validity mask (BORDER_CONSTANT semantics).
+
+Replaces the reference's per-frame cv2.remap x2 (depth4.py:246-248) in the
+depth hot path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class RemapPlan:
+    """Precomputed two-pass warp for one (map_x, map_y) pair.
+
+    Device arrays (hashable by id for jit via static closure? no — passed as
+    pytree leaves): vy (H, W) vertical sample row per intermediate pixel,
+    hx (H, W) horizontal sample column per output pixel, valid (H, W).
+    Static ints: coarse shift bounds for the masked-roll ladders and
+    residual bounds for the plane sweeps.
+    """
+    vy: jax.Array
+    hx: jax.Array
+    valid: jax.Array
+    v_coarse: jax.Array  # (W,) int32 per-column coarse vertical shift
+    h_coarse: jax.Array  # (H,) int32 per-row coarse horizontal shift
+    v_resid_bound: int
+    h_resid_bound: int
+    v_coarse_bits: int
+    h_coarse_bits: int
+
+
+jax.tree_util.register_pytree_node(
+    RemapPlan,
+    lambda p: ((p.vy, p.hx, p.valid, p.v_coarse, p.h_coarse),
+               (p.v_resid_bound, p.h_resid_bound, p.v_coarse_bits,
+                p.h_coarse_bits)),
+    lambda aux, ch: RemapPlan(*ch, *aux),
+)
+
+
+def build_remap_plan(map_x: np.ndarray, map_y: np.ndarray) -> RemapPlan:
+    """Host-side plan construction from cv2-style float maps (H, W).
+
+    Requires map_x to be strictly increasing along each row (true for
+    undistort+rectify maps). Out-of-source samples are marked invalid.
+    """
+    map_x = np.asarray(map_x, np.float64)
+    map_y = np.asarray(map_y, np.float64)
+    H, W = map_x.shape
+    xs = np.arange(W, dtype=np.float64)
+
+    # intermediate vertical map: myv(x, y') = my(mx^-1(x; y'), y')
+    myv = np.empty((H, W), np.float64)
+    inv_ok = np.empty((H, W), bool)
+    for y in range(H):
+        mx_row = map_x[y]
+        if not np.all(np.diff(mx_row) > 0):
+            raise ValueError(
+                "map_x must be strictly increasing along rows for the "
+                "two-pass decomposition; use ops.image.remap instead")
+        myv[y] = np.interp(xs, mx_row, map_y[y])
+        inv_ok[y] = (xs >= mx_row[0]) & (xs <= mx_row[-1])
+
+    ys = np.arange(H, dtype=np.float64)[:, None]
+    v_shift = myv - ys  # vertical displacement at intermediate pixels
+    v_coarse = np.round(np.median(v_shift, axis=0)).astype(np.int64)  # (W,)
+    v_resid = v_shift - v_coarse[None, :]
+    h_shift = map_x - xs[None, :]
+    h_coarse = np.round(np.median(h_shift, axis=1)).astype(np.int64)  # (H,)
+    h_resid = h_shift - h_coarse[:, None]
+
+    def bits_for(c):
+        m = int(np.max(np.abs(c))) if c.size else 0
+        return max(m, 1).bit_length()
+
+    valid = (inv_ok
+             & (myv >= 0) & (myv <= H - 1)
+             & (map_x >= 0) & (map_x <= W - 1)
+             & (map_y >= 0) & (map_y <= H - 1))
+    return RemapPlan(
+        vy=jnp.asarray(myv, jnp.float32),
+        hx=jnp.asarray(map_x, jnp.float32),
+        valid=jnp.asarray(valid),
+        v_coarse=jnp.asarray(v_coarse, jnp.int32),
+        h_coarse=jnp.asarray(h_coarse, jnp.int32),
+        v_resid_bound=int(np.ceil(np.max(np.abs(v_resid)))) + 1,
+        h_resid_bound=int(np.ceil(np.max(np.abs(h_resid)))) + 1,
+        v_coarse_bits=bits_for(v_coarse),
+        h_coarse_bits=bits_for(h_coarse),
+    )
+
+
+def _coarse_shift(img: jax.Array, amount: jax.Array, axis: int, bits: int
+                  ) -> jax.Array:
+    """img shifted along `axis` by per-line integer `amount` (constant along
+    the shift axis): out[i] = img[i + amount]. Log-composed masked rolls —
+    exact because the mask is constant along the roll axis, so every element
+    on a roll line moves by the same total."""
+    if axis == 0:
+        amt2d = jnp.broadcast_to(amount[None, :], img.shape)
+    else:
+        amt2d = jnp.broadcast_to(amount[:, None], img.shape)
+    mag = jnp.abs(amt2d)
+    pos = amt2d > 0
+    out = img
+    for b in (1 << k for k in range(bits)):
+        fwd = jnp.roll(out, -b, axis=axis)
+        bwd = jnp.roll(out, b, axis=axis)
+        out = jnp.where((mag & b) != 0, jnp.where(pos, fwd, bwd), out)
+    return out
+
+
+def _resample_axis(img: jax.Array, coord: jax.Array, coarse: jax.Array,
+                   bits: int, resid_bound: int, axis: int) -> jax.Array:
+    """Sample img along `axis` at float positions `coord` (same shape as
+    img): out[p] = linear_interp(img, coord[p]) along axis. coarse is the
+    per-line integer preshift (constant along axis)."""
+    idx = (jax.lax.broadcasted_iota(jnp.int32, img.shape, 0) if axis == 0
+           else jax.lax.broadcasted_iota(jnp.int32, img.shape, 1))
+    base = _coarse_shift(img, coarse, axis, bits)
+    if axis == 0:
+        coarse2d = jnp.broadcast_to(coarse[None, :], img.shape)
+    else:
+        coarse2d = jnp.broadcast_to(coarse[:, None], img.shape)
+    resid = coord - idx.astype(jnp.float32) - coarse2d.astype(jnp.float32)
+    rf = jnp.floor(resid)
+    frac = resid - rf
+    rfi = rf.astype(jnp.int32)
+    acc0 = jnp.zeros_like(img)
+    acc1 = jnp.zeros_like(img)
+    for s in range(-resid_bound, resid_bound + 2):
+        plane = jnp.roll(base, -s, axis=axis)
+        acc0 = jnp.where(rfi == s, plane, acc0)
+        acc1 = jnp.where(rfi == s - 1, plane, acc1)
+    return (1.0 - frac) * acc0 + frac * acc1
+
+
+@partial(jax.jit, static_argnames=())
+def remap_two_pass(src: jax.Array, plan: RemapPlan) -> jax.Array:
+    """cv2.remap(INTER_LINEAR, BORDER_CONSTANT 0) via the two-pass plan.
+
+    src: (H, W) float32. Returns (H, W) float32 with zeros where the map
+    leaves the source image.
+    """
+    g = jnp.asarray(src, jnp.float32)
+    t = _resample_axis(g, plan.vy, plan.v_coarse, plan.v_coarse_bits,
+                       plan.v_resid_bound, axis=0)
+    out = _resample_axis(t, plan.hx, plan.h_coarse, plan.h_coarse_bits,
+                         plan.h_resid_bound, axis=1)
+    return jnp.where(plan.valid, out, 0.0)

@@ -32,9 +32,7 @@ from recon3d_tpu.pointcloud.outliers import remove_statistical_outliers
 from recon3d_tpu.pointcloud.voxel import voxel_downsample
 from recon3d_tpu.registration import se3
 from recon3d_tpu.registration.features import compute_fpfh
-from recon3d_tpu.registration.icp import information_matrix, registration_icp
 from recon3d_tpu.registration.posegraph import PoseGraph, global_optimization
-from recon3d_tpu.registration.ransac import registration_ransac_fpfh
 from recon3d_tpu.utils import io
 from recon3d_tpu.utils.logging import FPSCounter, make_logger
 from recon3d_tpu.utils.types import CameraIntrinsics, PointCloud, compact
@@ -103,8 +101,18 @@ class Scanner3D:
         return pc, feat
 
     def register_fragments(self) -> PoseGraph:
-        """Sequential pairwise registration into a pose graph
-        (mini1.py:263-341). Node poses are world_from_frame."""
+        """Pairwise registration into a pose graph (mini1.py:263-341).
+
+        All pairs — the sequential chain AND the loop-closure candidates —
+        are registered by ONE batched program (RANSAC-FPFH + ICP refine +
+        information matrix, parallel.batch.register_pairs_ransac_batched),
+        replacing the reference's per-pair python loop (mini1.py:263-321).
+        Node poses are world_from_frame.
+        """
+        import jax
+
+        from recon3d_tpu.parallel.batch import register_pairs_ransac_batched
+
         c = self.config.registration
         graph = PoseGraph()
         graph.add_node(np.eye(4))
@@ -115,48 +123,49 @@ class Scanner3D:
             clouds.append(pc)
             feats.append(f)
         self.clouds = clouds
+        n = len(clouds)
+
+        seq_pairs = [(i, i - 1) for i in range(1, n)]
+        stride = max(n // 4, 2)
+        loop_pairs = [(i, i - stride) for i in range(stride, n, stride)]
+        pairs = seq_pairs + loop_pairs
+        if not pairs:
+            self.pose_graph = global_optimization(graph)
+            return self.pose_graph
+
+        stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
+        res, infos = register_pairs_ransac_batched(
+            stack([clouds[i] for i, _ in pairs]),
+            stack([clouds[j] for _, j in pairs]),
+            jnp.stack([feats[i] for i, _ in pairs]),
+            jnp.stack([feats[j] for _, j in pairs]),
+            distance_threshold=1.5 * c.voxel_size,
+            num_trials=min(c.ransac_max_iterations, 65536),
+        )
+        good = np.asarray(res.is_good(c.fitness_min, c.rmse_max * 5))
+        Ts = np.asarray(res.transformation, np.float64)
+        infos = np.asarray(infos, np.float64)
 
         world_from_prev = np.eye(4)
-        for i in range(1, len(clouds)):
-            src, tgt = clouds[i], clouds[i - 1]
-            # RANSAC-FPFH global init + point-to-plane refine (mini1.py:271-305)
-            res = registration_ransac_fpfh(
-                src, tgt, feats[i], feats[i - 1],
-                distance_threshold=1.5 * c.voxel_size,
-                num_trials=min(c.ransac_max_iterations, 65536),
-            )
-            if not bool(res.is_good(c.fitness_min, c.rmse_max * 5)):
-                # odometry failure -> identity + uncertain edge
+        for k, (i, j) in enumerate(seq_pairs):
+            if not good[k]:
+                # registration failure -> identity + uncertain edge
                 # (check82.py:200-207 pattern)
                 self.logger.warning("pair %d->%d weak (fitness %.3f); "
-                                    "identity fallback", i, i - 1, float(res.fitness))
-                T = np.eye(4)
-                info = np.eye(6) * 1e-3
-                uncertain = True
+                                    "identity fallback", i, j,
+                                    float(res.fitness[k]))
+                T, info, uncertain = np.eye(4), np.eye(6) * 1e-3, True
             else:
-                T = np.asarray(res.transformation, np.float64)
-                info = np.asarray(information_matrix(
-                    src, tgt, 1.5 * c.voxel_size, res.transformation), np.float64)
-                uncertain = False
+                T, info, uncertain = Ts[k], infos[k], False
             world_from_i = world_from_prev @ T
             graph.add_node(world_from_i)
-            # edge (source=i, target=i-1) measures X_{i-1}^-1 X_i = T
-            graph.add_edge(i, i - 1, T, info, uncertain=uncertain)
+            # edge (source=i, target=j=i-1) measures X_{i-1}^-1 X_i = T
+            graph.add_edge(i, j, T, info, uncertain=uncertain)
             world_from_prev = world_from_i
 
-        # loop-closure candidates: every k-th pair (uncertain edges)
-        stride = max(len(clouds) // 4, 2)
-        for i in range(stride, len(clouds), stride):
-            j = i - stride
-            res = registration_ransac_fpfh(
-                clouds[i], clouds[j], feats[i], feats[j],
-                distance_threshold=1.5 * c.voxel_size, num_trials=16384)
-            if bool(res.is_good(c.fitness_min, c.rmse_max * 5)):
-                info = np.asarray(information_matrix(
-                    clouds[i], clouds[j], 1.5 * c.voxel_size,
-                    res.transformation), np.float64)
-                graph.add_edge(i, j, np.asarray(res.transformation, np.float64),
-                               info, uncertain=True)
+        for k, (i, j) in enumerate(loop_pairs, start=len(seq_pairs)):
+            if good[k]:
+                graph.add_edge(i, j, Ts[k], infos[k], uncertain=True)
 
         self.pose_graph = global_optimization(graph)  # LM (mini1.py:323-341)
         return self.pose_graph

@@ -4,8 +4,10 @@ Producer/consumer streaming SLAM (check90.py:64, 227-277): a capture thread
 feeds a bounded queue; the fusion thread tracks camera pose with RGB-D
 odometry (hybrid term, check90.py:202-206) and integrates each frame into
 the TSDF. Odometry failure falls back to the previous pose and marks the
-frame (check82.py:200-207). Frame-to-model vs frame-to-frame tracking is
-selectable (colorReco.py tracks frame-to-frame).
+frame (check82.py:200-207). Tracking is selectable: "keyframe" (register
+against a reference keyframe, promoted when overlap drops — drift-free
+while the keyframe holds) or "frame_to_frame" (the reference's
+check90.py/colorReco.py behavior).
 """
 from __future__ import annotations
 
@@ -35,7 +37,8 @@ class StreamingFusion:
     def __init__(self, camera, intrinsics: CameraIntrinsics,
                  config: ScannerConfig = ScannerConfig(),
                  resolution: int = 256, volume_origin=None,
-                 queue_size: int = 10):
+                 queue_size: int = 10, tracking: str = "keyframe",
+                 keyframe_min_inliers: float = 0.85):
         self.camera = camera
         self.intrinsics = intrinsics
         self.config = config
@@ -54,6 +57,18 @@ class StreamingFusion:
         self.frames_integrated = 0
         self.odometry_failures = 0
         self._threads: List[threading.Thread] = []
+        # Keyframe tracking: register each frame against a reference
+        # keyframe instead of the previous frame, so per-step odometry bias
+        # stops accumulating while the keyframe stays good; the keyframe is
+        # promoted when overlap (inlier fraction) drops. "frame_to_frame"
+        # reproduces check90.py/colorReco.py exactly (promote every frame).
+        if tracking not in ("keyframe", "frame_to_frame"):
+            raise ValueError(f"unknown tracking mode {tracking!r}")
+        self._promote_below = (2.0 if tracking == "frame_to_frame"
+                               else keyframe_min_inliers)
+        self.world_from_key = np.eye(4, dtype=np.float32)
+        self._rel_init = jnp.eye(4, dtype=jnp.float32)  # cur_cam_from_key
+        self.keyframe: Optional[RGBDImage] = None
 
     def _capture_loop(self):
         fps = FPSCounter(self.logger, "capture")
@@ -77,19 +92,33 @@ class StreamingFusion:
             except queue.Empty:
                 continue
             cur = RGBDImage(color=jnp.asarray(color), depth=jnp.asarray(depth))
-            if self.prev is not None:
-                res = compute_rgbd_odometry(self.prev, cur, self.intrinsics)
+            if self.prev is None:
+                self.keyframe = cur
+            else:
+                res = compute_rgbd_odometry(self.keyframe, cur,
+                                            self.intrinsics,
+                                            init=self._rel_init)
                 if bool(res.success):
-                    # res.transformation: cur_cam_from_prev_cam
-                    prev_from_cur = np.asarray(
-                        np.linalg.inv(np.asarray(res.transformation)))
-                    self.world_from_cam = self.world_from_cam @ prev_from_cur
+                    # res.transformation: cur_cam_from_key_cam
+                    cur_from_key = np.asarray(res.transformation)
+                    self.world_from_cam = (
+                        self.world_from_key @ np.linalg.inv(cur_from_key)
+                    ).astype(np.float32)
+                    self._rel_init = jnp.asarray(cur_from_key)
+                    if float(res.inlier_fraction) < self._promote_below:
+                        self.keyframe = cur
+                        self.world_from_key = self.world_from_cam.copy()
+                        self._rel_init = jnp.eye(4, dtype=jnp.float32)
                 else:
                     # odometry failure -> keep last pose (check82.py:200-207)
+                    # and re-seat the keyframe so tracking can recover
                     self.odometry_failures += 1
                     self.logger.warning("odometry failed (inliers %.2f); "
                                         "reusing last pose",
                                         float(res.inlier_fraction))
+                    self.keyframe = cur
+                    self.world_from_key = self.world_from_cam.copy()
+                    self._rel_init = jnp.eye(4, dtype=jnp.float32)
             extrinsic = jnp.asarray(np.linalg.inv(self.world_from_cam), jnp.float32)
             self.volume = _tsdf.integrate(
                 self.volume, cur.depth, self.intrinsics, extrinsic,

@@ -1,0 +1,80 @@
+"""Grid-binned neighbor search vs the exact brute-force kernels.
+
+grid_knn's contract: exact for neighbor pairs within `radius` when no cell
+overflows. The reference's scale target is test/gpu-performance.py:23-46
+(10M-point ops); these tests pin correctness at test scale, the TPU bench
+exercises the large-N path.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from recon3d_tpu.ops import knn as bknn
+from recon3d_tpu.ops.grid_knn import grid_knn, grid_nearest_neighbor
+
+
+def _cloud(n=4096, seed=0, scale=0.5):
+    rng = np.random.RandomState(seed)
+    pts = rng.rand(n, 3).astype(np.float32) * scale
+    valid = np.ones(n, bool)
+    valid[::17] = False
+    return pts, valid
+
+
+class TestGridKNN:
+    def test_in_radius_recall_is_exact(self):
+        pts, valid = _cloud()
+        r = 0.04
+        res = grid_knn(jnp.asarray(pts), jnp.asarray(valid), r, k=10,
+                       grid_size=32, cell_capacity=16)
+        assert float(res.overflow_fraction) == 0.0
+        bi, bd = map(np.asarray, bknn.knn(jnp.asarray(pts),
+                                          jnp.asarray(valid), k=10))
+        gi, gd = np.asarray(res.indices), np.asarray(res.sq_dists)
+        r2 = r * r
+        match = tot = 0
+        for i in range(len(pts)):
+            if not valid[i]:
+                continue
+            bset = {int(bi[i, j]) for j in range(10) if bd[i, j] < r2}
+            gset = {int(gi[i, j]) for j in range(10) if gd[i, j] < r2}
+            tot += len(bset)
+            match += len(bset & gset)
+        assert tot > 10000
+        assert match == tot, f"recall {match}/{tot}"
+
+    def test_overflow_reported(self):
+        # everything in one cell of capacity 4 -> heavy overflow
+        pts = np.zeros((64, 3), np.float32)
+        res = grid_knn(jnp.asarray(pts), jnp.ones(64, bool), 1.0, k=4,
+                       grid_size=8, cell_capacity=4)
+        assert float(res.overflow_fraction) > 0.9
+
+    def test_invalid_points_excluded(self):
+        pts, valid = _cloud(512)
+        res = grid_knn(jnp.asarray(pts), jnp.asarray(valid), 0.1, k=5,
+                       grid_size=16, cell_capacity=32)
+        gi, gd = np.asarray(res.indices), np.asarray(res.sq_dists)
+        found = gd < 1e29
+        assert valid[gi[found]].all(), "an invalid point appeared as neighbor"
+        assert not found[~valid].any(), "invalid queries returned neighbors"
+
+
+class TestGridNearestNeighbor:
+    def test_matches_brute_force_within_radius(self):
+        q, qv = _cloud(2048, seed=1)
+        db, dbv = _cloud(2048, seed=2)
+        r = 0.05
+        gi, gd = grid_nearest_neighbor(jnp.asarray(q), jnp.asarray(qv),
+                                       jnp.asarray(db), jnp.asarray(dbv), r,
+                                       grid_size=32, cell_capacity=16)
+        bi, bd = bknn.nearest_neighbor(jnp.asarray(q), jnp.asarray(qv),
+                                       jnp.asarray(db), jnp.asarray(dbv))
+        gi, gd, bi, bd = map(np.asarray, (gi, gd, bi, bd))
+        m = qv & (bd < r * r)
+        assert m.sum() > 1000
+        # distances must match everywhere; indices may differ only on
+        # exact-tie neighbors (two db points equidistant from the query)
+        # brute force computes |a|^2+|b|^2-2ab (matmul form), the grid path
+        # (a-b)^2 directly — identical up to f32 formula rounding
+        np.testing.assert_allclose(gd[m], bd[m], rtol=2e-3, atol=2e-7)
+        assert (gi[m] == bi[m]).mean() > 0.999
