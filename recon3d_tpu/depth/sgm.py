@@ -55,9 +55,10 @@ def _scan_dir(cost: jax.Array, axis: int, reverse: bool, P1, P2, col_shift: int 
         return out, out
 
     init = jnp.zeros_like(vol[0])
-    # unroll amortizes per-step loop overhead — the scans are latency-bound
-    # on TPU (tiny (rows, D) bodies), not FLOP-bound
-    _, out = jax.lax.scan(step, init, vol, reverse=reverse, unroll=16)
+    # modest unroll: amortizes per-step loop overhead (the scans are
+    # latency-bound, not FLOP-bound) without the minutes-long compiles
+    # unroll=16 caused at 1080p; the production TPU path is sgm_pallas
+    _, out = jax.lax.scan(step, init, vol, reverse=reverse, unroll=4)
     return jnp.swapaxes(out, 0, axis) if axis != 0 else out
 
 
@@ -235,8 +236,20 @@ def speckle_filter_fast(disp: jax.Array, valid: jax.Array,
         # window big enough that a compact component of window_size pixels
         # (diameter ~2.5*sqrt(size) even for ragged blobs) fits entirely
         side = 2 * int(2.5 * float(window_size) ** 0.5 / 2.0 + 1.0) + 1
-    r = side // 2
+
     H, W = disp.shape
+    if H * W >= 1 << 19:
+        # large frames: count on a 2x-decimated grid (areas scale by 1/4),
+        # then broadcast the keep decision back — the box-filter cost at
+        # 1080p drops ~4x for a sub-percent change in the kept mask
+        keep_ds = speckle_filter_fast(
+            disp[::2, ::2], valid[::2, ::2], max_range,
+            max(window_size // 4, 1), side=(side // 2) | 1,
+            max_disparity=max_disparity)
+        keep = jnp.repeat(jnp.repeat(keep_ds, 2, axis=0), 2, axis=1)
+        return valid & keep[:H, :W]
+
+    r = side // 2
     occ_weight = valid.astype(jnp.float32)
 
     def box2d(a):

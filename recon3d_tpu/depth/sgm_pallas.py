@@ -51,18 +51,12 @@ def _ceil_to(n: int, m: int) -> int:
 
 
 def _pick_xtile(w: int) -> Tuple[int, int]:
-    """(padded_W, xtile): smallest padding first, then the widest tile.
-
-    Tiles are capped at 256 columns so each kernel's working set (uint16
-    in/out blocks double-buffered + two f32 staging scratches) stays inside
-    ~8 MB of VMEM.
-    """
-    best = None
-    for xt in (256, 192, 128):
-        wp = _ceil_to(w, xt)
-        if best is None or wp < best[0] or (wp == best[0] and xt > best[1]):
-            best = (wp, xt)
-    return best
+    """(padded_W, xtile): W padded to a lane multiple (the cost kernel's
+    DMA windows must be 128-aligned), widest dividing tile <= 256 so each
+    scan kernel's working set stays inside ~8 MB of VMEM."""
+    wp = _ceil_to(w, 128)
+    xt = 256 if wp % 256 == 0 else 128
+    return wp, xt
 
 
 def _u16f(x: jax.Array) -> jax.Array:
@@ -168,24 +162,32 @@ def _mk_finalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
     while b < d_pad:
         shift_bits.append(b)
         b *= 2
+    # pack (cost << LSH) | lane into one int32 so a single min-reduce yields
+    # both the minimum and its smallest-lane argmin (cv2's tie rule)
+    LSH = max(d_pad - 1, 1).bit_length()
+    LMASK = (1 << LSH) - 1
+    IBIG = 2 ** 30  # python int literal: kernels cannot capture jnp consts
 
     def kernel(s_ref, disp_ref, valid_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (w_pad, d_pad), 1)
         xcol = jax.lax.broadcasted_iota(jnp.int32, (w_pad, 1), 0)
 
         def row(y, _):
-            S = _u16f(s_ref[y])  # (W, D)
-            best = jnp.min(S, axis=-1, keepdims=True)
-            is_min = S == best
-            d0 = jnp.min(jnp.where(is_min, lane, d_pad), axis=-1,
-                         keepdims=True)  # (W, 1) first (smallest-d) argmin
+            Si = s_ref[y].astype(jnp.int32)  # (W, D), values < 2^16
+            P = (Si << LSH) | lane
+            mp = jnp.min(P, axis=-1, keepdims=True)
+            best = (mp >> LSH).astype(jnp.float32)
+            d0 = mp & LMASK  # (W, 1)
 
             if do_subpixel:
+                S = Si.astype(jnp.float32)
                 d0c = jnp.clip(d0, 1, d_real - 2)
                 onehot = lane == d0c
                 Sm = jnp.concatenate([S[:, :1], S[:, :-1]], axis=-1)
                 Sp = jnp.concatenate([S[:, 1:], S[:, -1:]], axis=-1)
-                c0 = jnp.sum(jnp.where(onehot, S, 0.0), axis=-1, keepdims=True)
+                # c0 equals `best` except at clipped borders, where the
+                # parabola is discarded anyway (interior mask below)
+                c0 = best
                 cm = jnp.sum(jnp.where(onehot, Sm, 0.0), axis=-1, keepdims=True)
                 cp = jnp.sum(jnp.where(onehot, Sp, 0.0), axis=-1, keepdims=True)
                 denom = jnp.maximum(cm + cp - 2.0 * c0, 1e-6)
@@ -198,8 +200,8 @@ def _mk_finalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
 
             if uniqueness_ratio > 0:
                 adjacent = jnp.abs(lane - d0) <= 1
-                second = jnp.min(jnp.where(adjacent, _BIG, S), axis=-1,
-                                 keepdims=True)
+                second = (jnp.min(jnp.where(adjacent, IBIG, P), axis=-1,
+                                  keepdims=True) >> LSH).astype(jnp.float32)
                 uniq = second * 100.0 > best * (100.0 + uniqueness_ratio)
             else:
                 uniq = jnp.ones((w_pad, 1), bool)
@@ -208,15 +210,13 @@ def _mk_finalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
 
             if disp12_max_diff >= 0:
                 # right-view WTA from the shared volume: T(x, d) = S(x+d, d)
-                T = S
+                T = P
                 for bshift in shift_bits:
                     # np.roll(T, -b) with the non-negative shift pltpu needs
                     T = jnp.where((lane & bshift) > 0,
                                   pltpu.roll(T, w_pad - bshift, axis=0), T)
-                T = jnp.where(xcol + lane >= w_real, _BIG, T)
-                bestR = jnp.min(T, axis=-1, keepdims=True)
-                dR = jnp.min(jnp.where(T == bestR, lane, d_pad), axis=-1,
-                             keepdims=True)
+                T = jnp.where(xcol + lane >= w_real, IBIG, T)
+                dR = jnp.min(T, axis=-1, keepdims=True) & LMASK
                 # G(x) = dR(x - d0(x)), gather-free: build the lane-indexed
                 # plane DR2(x, d) = dR(x - d) with per-lane uniform rolls
                 # (shift amount = lane index, so masked-roll composition is
@@ -239,6 +239,172 @@ def _mk_finalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
         # (~6 (W, D) f32 planes) are reused across rows instead of fh copies
         # being live at once — the static loop blew the scoped VMEM limit.
         jax.lax.fori_loop(0, fh, row, 0)
+
+    return kernel
+
+
+def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
+                        h_real: int, w_real: int, w_pad: int, r: int,
+                        block_size: int, min_disparity: int,
+                        p1: float, p2: float, static_chunks: bool = True):
+    """Fused cost + forward-horizontal-scan kernel.
+
+    Grid (bands, xtiles), xtiles sequential left->right. Per grid step the
+    kernel DMAs small halo'd image slabs (prefiltered values + BT bounds for
+    both views; the right view pre-reversed along x so each column's D
+    samples are one ascending slice), computes the Birchfield-Tomasi cost
+    with its blockSize box sum column-by-column (vertical taps from the row
+    halo, horizontal taps from a per-chunk column window), applies the
+    forward SGM recurrence, and stores 16-column uint16 chunks of BOTH the
+    cost volume and L_fwd.
+
+    Replaces the XLA cost_volume_u16 + the standalone forward scan: the
+    (H, W, D) f32 intermediates XLA materialized (45 ms at 1080p) never
+    exist; HBM sees only the two uint16 outputs.
+    """
+    n_chunks = xt // 16
+    assert n_chunks * 16 == xt
+    assert xt % 128 == 0, "cost kernel xtiles must be lane-aligned for DMA"
+    bhh = bh + 2 * r  # slab rows actually used
+    # DMA slices of tiled refs must be tile-aligned: fetch 8-row-aligned,
+    # 128-col-aligned slabs and ignore the over-fetch
+    bhh_dma = _ceil_to(bhh, 8)
+    lw_dma = _ceil_to(xt + 2 * r, 128)
+    rw_dma = _ceil_to(xt + 2 * r + d_pad - 1 + min_disparity, 128)
+
+    def kernel(lv_ref, llo_ref, lhi_ref, rv_ref, rlo_ref, rhi_ref,
+               cost_ref, out_ref, carry_ref, lslab, rslab, sems):
+        b = pl.program_id(0)
+        x = pl.program_id(1)
+
+        @pl.when(x == 0)
+        def _():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        # ---- DMA halo'd slabs: L planes (bhh, xt+2r), R planes from the
+        # reversed+padded right view (bhh, xt+2r+d_pad-1). Sources are
+        # pre-padded by the caller so every slice is in-bounds. In the
+        # reversed view RREV[u] = R(A - u) with A = WP - 1 + r, so for a
+        # column gx and lane d the sample R(gx - min_disp - d) sits at
+        # ascending in-slab offset (xt + 2r - 1 - cl) + d — no flips needed.
+        row0 = pl.multiple_of(b * bh, 8)
+        col_l = pl.multiple_of(x * xt, 128)  # xt is a multiple of 128
+        # R window start kept 128-aligned by folding min_disparity into the
+        # static in-slab offset (rstart) instead
+        col_r = pl.multiple_of(w_pad - x * xt - xt, 128)
+        copies = []
+        for i, (src, dstslot) in enumerate(((lv_ref, 0), (llo_ref, 1),
+                                            (lhi_ref, 2))):
+            c = pltpu.make_async_copy(
+                src.at[pl.ds(row0, bhh_dma), pl.ds(col_l, lw_dma)],
+                lslab.at[dstslot], sems.at[i])
+            c.start()
+            copies.append(c)
+        for i, (src, dstslot) in enumerate(((rv_ref, 0), (rlo_ref, 1),
+                                            (rhi_ref, 2))):
+            c = pltpu.make_async_copy(
+                src.at[pl.ds(row0, bhh_dma), pl.ds(col_r, rw_dma)],
+                rslab.at[dstslot], sems.at[3 + i])
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bh, d_pad), 1)
+
+        def raw_colsum(cl):
+            """Box-vertical-summed x2-scaled BT cost column (bh, d_pad).
+
+            cl: STATIC column index within the slab, in [0, xt + 2r). Lane d
+            holds disparity d directly (ascending in the reversed right
+            view). Static offsets only: Mosaic has no dynamic-lane loads.
+
+            Right-edge replication (matching the XLA box_aggregate's edge
+            padding of the raw cost column) happens in chunk_body: box
+            windows crossing the last real column re-tap the edge column.
+            """
+            lv = lslab[0, :, pl.ds(cl, 1)]  # (bhh, 1)
+            llo = lslab[1, :, pl.ds(cl, 1)]
+            lhi = lslab[2, :, pl.ds(cl, 1)]
+            rstart = xt + 2 * r - 1 - cl + min_disparity
+            rv = rslab[0, :, pl.ds(rstart, d_pad)]  # (bhh, d_pad)
+            rlo = rslab[1, :, pl.ds(rstart, d_pad)]
+            rhi = rslab[2, :, pl.ds(rstart, d_pad)]
+            c_ltr = jnp.maximum(0.0, jnp.maximum(lv - rhi, rlo - lv))
+            c_rtl = jnp.maximum(0.0, jnp.maximum(rv - lhi, llo - rv))
+            raw = 2.0 * jnp.minimum(c_ltr, c_rtl)  # (bhh, d_pad), x2 units
+            out = raw[0:bh]
+            for k in range(1, block_size):
+                out = out + raw[k:k + bh]
+            return out  # (bh, d_pad)
+
+        # static positions of the last real column (for right-edge box
+        # replication): it lives in grid column x_last at in-tile offset e0
+        x_last = (w_real - 1) // xt
+        e0 = (w_real - 1) - x_last * xt
+        is_last_tile = x == x_last
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (bh, d_pad), 0)
+
+        if not static_chunks:
+            # dynamic column loop (interpret/testing mode): tiny trace, the
+            # (2r+1) redundant colsum recomputes per column don't matter.
+            # Mosaic can't lower the dynamic-lane accesses; the TPU build
+            # uses the statically unrolled chunk path below.
+            def col_body(c, carry):
+                box = None
+                for t in range(block_size):
+                    idx = c + t
+                    idx = jnp.where(is_last_tile,
+                                    jnp.minimum(idx, e0 + r), idx)
+                    col = raw_colsum(idx)
+                    box = col if box is None else box + col
+                gx = x * xt + c
+                invalid = (gx < min_disparity + lane + r) | (lane >= d_real)
+                invalid = invalid | (gx >= w_real)
+                dead = ((row0 + row_iota) >= h_real) | (gx >= w_real)
+                cost = jnp.where(invalid, INVALID_COST, box)
+                cost = jnp.where(dead, 0.0, cost)
+                carry = _path_step(carry, cost, p1, p2)
+                cost_ref[:, pl.ds(c, 1), :] = _fu16(cost)[:, None, :]
+                out_ref[:, pl.ds(c, 1), :] = _fu16(carry)[:, None, :]
+                return carry
+
+            carry_ref[:] = jax.lax.fori_loop(0, xt, col_body, carry_ref[:])
+            return
+
+        carry = carry_ref[:]
+        for ci in range(n_chunks):
+            c0 = ci * 16
+            cols = []
+            # columns c0-r .. c0+15+r within the tile (slab col = tile col
+            # + r offset, since the slab starts r columns left of the tile)
+            window = [raw_colsum(c0 + k) for k in range(16 + 2 * r)]
+            for k in range(16):
+                box = window[k]
+                for t in range(1, block_size):
+                    box = box + window[k + t]
+                c = c0 + k
+                if e0 - r < c <= e0:
+                    # window crosses the last real column: replicate its
+                    # raw-cost column, like the XLA box's edge padding
+                    je = e0 + r - c0
+                    box_cl = window[min(k, je)]
+                    for t in range(1, block_size):
+                        box_cl = box_cl + window[min(k + t, je)]
+                    box = jnp.where(is_last_tile, box_cl, box)
+                gx = x * xt + c
+                invalid = (gx < min_disparity + lane + r) | (lane >= d_real)
+                invalid = invalid | (gx >= w_real)
+                dead = ((row0 + row_iota) >= h_real) | (gx >= w_real)
+                cost = jnp.where(invalid, INVALID_COST, box)
+                cost = jnp.where(dead, 0.0, cost)
+                carry = _path_step(carry, cost, p1, p2)
+                cols.append((cost, carry))
+            cost_ref[:, c0:c0 + 16, :] = _fu16(
+                jnp.stack([c_ for c_, _ in cols], axis=1))
+            out_ref[:, c0:c0 + 16, :] = _fu16(
+                jnp.stack([p for _, p in cols], axis=1))
+        carry_ref[:] = carry
 
     return kernel
 
@@ -276,6 +442,88 @@ def cost_volume_u16(
 
 
 @partial(jax.jit, static_argnames=(
+    "num_disparities", "min_disparity", "block_size", "pre_filter_cap",
+    "p1", "p2", "hp", "wp", "dp", "interpret",
+))
+def cost_and_fwd(
+    left_gray: jax.Array,
+    right_gray: jax.Array,
+    num_disparities: int,
+    min_disparity: int,
+    block_size: int,
+    pre_filter_cap: int,
+    p1: float,
+    p2: float,
+    hp: int, wp: int, dp: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused Pallas cost volume + forward path scan.
+
+    Returns (cost_u16, v1_u16), both (hp, wp, dp) with the padding
+    conventions aggregate_and_finalize expects (zero rows/cols beyond the
+    real image, INVALID_COST on out-of-range disparities).
+    """
+    H, W = left_gray.shape
+    r = block_size // 2
+    BH = 32
+    XT = 128  # lane-aligned DMA windows require 128-multiple x tiles
+    assert wp % XT == 0
+    nb, nx = hp // BH, wp // XT
+    bhh_dma = _ceil_to(BH + 2 * r, 8)
+    lw_dma = _ceil_to(XT + 2 * r, 128)
+    rw_dma = _ceil_to(XT + 2 * r + dp - 1 + min_disparity, 128)
+
+    lpre = _cost.xsobel_prefilter(jnp.asarray(left_gray, jnp.float32),
+                                  pre_filter_cap)
+    rpre = _cost.xsobel_prefilter(jnp.asarray(right_gray, jnp.float32),
+                                  pre_filter_cap)
+    lo_l, hi_l = _cost._bt_bounds(lpre)
+    lo_r, hi_r = _cost._bt_bounds(rpre)
+
+    # plane sizes give every (8, 128)-aligned DMA window headroom:
+    # rows [b*BH, b*BH + bhh_dma), cols [x*XT, x*XT + lw_dma) for L and
+    # [wp - (x+1)*XT, + rw_dma) for the reversed R view
+    rows_top, rows_bot = r, (hp + bhh_dma - BH) - H - r
+    lcols_r = (wp - XT + lw_dma) - W - r
+    rcols_r = (wp - XT + rw_dma) - wp - r
+
+    def pad_l(a):
+        return jnp.pad(jnp.pad(a, ((0, 0), (0, wp - W)), mode="edge"),
+                       ((rows_top, rows_bot), (r, lcols_r - (wp - W))),
+                       mode="edge")
+
+    def pad_r(a):
+        a = jnp.pad(a, ((0, 0), (0, wp - W)), mode="edge")
+        a = a[:, ::-1]  # reversed view: RREV[u] = R(wp - 1 + r - u)
+        return jnp.pad(a, ((rows_top, rows_bot), (r, rcols_r)), mode="edge")
+
+    planes = (pad_l(lpre), pad_l(lo_l), pad_l(hi_l),
+              pad_r(rpre), pad_r(lo_r), pad_r(hi_r))
+
+    vol_shape = jax.ShapeDtypeStruct((hp, wp, dp), jnp.uint16)
+    hblock = pl.BlockSpec((BH, XT, dp), lambda b, x: (b, x, 0),
+                          memory_space=pltpu.VMEM)
+    cost, v1 = pl.pallas_call(
+        _mk_cost_fwd_kernel(BH, XT, dp, num_disparities, H, W, wp, r,
+                            block_size, min_disparity,
+                            float(p1) * 2.0, float(p2) * 2.0,
+                            static_chunks=not interpret),
+        grid=(nb, nx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
+        out_specs=(hblock, hblock),
+        out_shape=(vol_shape, vol_shape),
+        scratch_shapes=[
+            pltpu.VMEM((BH, dp), jnp.float32),
+            pltpu.VMEM((3, bhh_dma, lw_dma), jnp.float32),
+            pltpu.VMEM((3, bhh_dma, rw_dma), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )(*planes)
+    return cost, v1
+
+
+@partial(jax.jit, static_argnames=(
     "p1", "p2", "uniqueness_ratio", "disp12_max_diff", "do_subpixel",
     "num_disparities", "w_real", "interpret",
 ))
@@ -289,10 +537,13 @@ def aggregate_and_finalize(
     do_subpixel: bool = True,
     w_real: int | None = None,
     interpret: bool = False,
+    v1: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """4-direction aggregation + WTA/subpixel/uniqueness/LR on a padded
     uint16 cost volume. Returns (disp_raw f32 in d-index units, valid bool),
-    both (H, W). Shapes must be pre-padded: H % 32 == 0, W and D % 128 == 0.
+    both (H, W). Shapes must be pre-padded: H % 32 == 0, W % 8 == 0,
+    D % 128 == 0. Pass v1 (the forward-path volume from cost_and_fwd) to
+    skip the standalone forward-scan kernel.
     """
     HP, WP, DP = cost_u16.shape
     assert HP % 32 == 0 and WP % 8 == 0 and DP % 128 == 0, cost_u16.shape
@@ -313,13 +564,14 @@ def aggregate_and_finalize(
     vblock_r = pl.BlockSpec((BH3, XT, DP), lambda x, b: (nb3 - 1 - b, x, 0),
                             memory_space=pltpu.VMEM)
 
-    v1 = pl.pallas_call(
-        _mk_hscan_kernel(XT, p1f, p2f, reverse=False, accumulate=False),
-        grid=(nb, nx),
-        in_specs=[hblock], out_specs=hblock, out_shape=vol_shape,
-        scratch_shapes=[pltpu.VMEM((BH, DP), jnp.float32)],
-        interpret=interpret,
-    )(cost_u16)
+    if v1 is None:
+        v1 = pl.pallas_call(
+            _mk_hscan_kernel(XT, p1f, p2f, reverse=False, accumulate=False),
+            grid=(nb, nx),
+            in_specs=[hblock], out_specs=hblock, out_shape=vol_shape,
+            scratch_shapes=[pltpu.VMEM((BH, DP), jnp.float32)],
+            interpret=interpret,
+        )(cost_u16)
 
     v2 = pl.pallas_call(
         _mk_hscan_kernel(XT, p1f, p2f, reverse=True, accumulate=True),
@@ -371,7 +623,8 @@ def aggregate_and_finalize(
 @partial(jax.jit, static_argnames=(
     "num_disparities", "min_disparity", "block_size", "p1", "p2",
     "uniqueness_ratio", "disp12_max_diff", "speckle_window_size",
-    "pre_filter_cap", "do_subpixel", "speckle_method", "interpret",
+    "speckle_range", "pre_filter_cap", "do_subpixel", "speckle_method",
+    "interpret",
 ))
 def sgm_disparity_pallas(
     left_gray: jax.Array,
@@ -408,25 +661,20 @@ def sgm_disparity_pallas(
     WP, _ = _pick_xtile(W)
     DP = _ceil_to(num_disparities, 128)
 
-    # Cost on the REAL image (box_aggregate's own edge handling, byte-exact
-    # with the XLA path), then pad the volume: INVALID_COST on extra
-    # disparity lanes so they never win WTA, zeros on extra rows/columns so
-    # a zero carry propagates unchanged and the reverse scans (bottom-up,
-    # right-to-left) enter the real image with the zero-init carry an
-    # unpadded scan would start with.
-    cost = cost_volume_u16(jnp.asarray(left_gray, jnp.float32),
-                           jnp.asarray(right_gray, jnp.float32),
-                           num_disparities, min_disparity, block_size,
-                           pre_filter_cap)
-    if DP > num_disparities:
-        cost = jnp.pad(cost, ((0, 0), (0, 0), (0, DP - num_disparities)),
-                       constant_values=jnp.uint16(int(INVALID_COST)))
-    if HP > H or WP > W:
-        cost = jnp.pad(cost, ((0, HP - H), (0, WP - W), (0, 0)))
+    # Fused Pallas cost + forward scan. Padding conventions: INVALID_COST on
+    # extra disparity lanes so they never win WTA, zeros on extra
+    # rows/columns so a zero carry propagates unchanged and the reverse
+    # scans (bottom-up, right-to-left) enter the real image with the
+    # zero-init carry an unpadded scan would start with.
+    cost, v1 = cost_and_fwd(
+        jnp.asarray(left_gray, jnp.float32),
+        jnp.asarray(right_gray, jnp.float32),
+        num_disparities, min_disparity, block_size, pre_filter_cap,
+        p1, p2, HP, WP, DP, interpret)
 
     disp_raw, valid = aggregate_and_finalize(
         cost, p1, p2, num_disparities, uniqueness_ratio, disp12_max_diff,
-        do_subpixel, W, interpret)
+        do_subpixel, W, interpret, v1=v1)
     disp_raw = disp_raw[:H, :W]
     valid = valid[:H, :W]
 

@@ -128,8 +128,14 @@ def _unpack_key(key: jax.Array) -> jax.Array:
 
 
 def _hash(key: jax.Array, table_size: int) -> jax.Array:
-    return (key.astype(jnp.uint32) * jnp.uint32(2654435761)
-            ).astype(jnp.int32) & jnp.int32(table_size - 1)
+    # murmur-style avalanche: masking low bits of a bare multiplicative
+    # hash would make slots depend only on the low key bits (all bricks
+    # sharing (by mod 16, bz) would collide)
+    u = key.astype(jnp.uint32) * jnp.uint32(2654435761)
+    u = u ^ (u >> 16)
+    u = u * jnp.uint32(2246822519)
+    u = u ^ (u >> 13)
+    return u.astype(jnp.int32) & jnp.int32(table_size - 1)
 
 
 def _lookup(vol: ScalableTSDFVolume, keys: jax.Array, probes: int = 8
@@ -367,6 +373,12 @@ def extract_triangle_mesh(vol: ScalableTSDFVolume, window: int = 256):
     for v, t, _ in meshes:
         tris.append(t + off)
         off += len(v)
-    mesh = TriangleMesh.from_numpy(verts, np.concatenate(tris, 0),
-                                   vertex_colors=cols)
+    tris = np.concatenate(tris, 0).astype(np.int32)
+    mesh = TriangleMesh(
+        vertices=jnp.asarray(verts, jnp.float32),
+        triangles=jnp.asarray(tris),
+        vertex_valid=jnp.ones((len(verts),), bool),
+        triangle_valid=jnp.ones((len(tris),), bool),
+        vertex_colors=None if cols is None else jnp.asarray(cols, jnp.float32),
+    )
     return mops.cleanup(mesh)

@@ -87,11 +87,14 @@ def integrate(
     extrinsic: jax.Array,
     color: Optional[jax.Array] = None,
     depth_trunc: float = 3.0,
+    weight_max: float = 64.0,
 ) -> TSDFVolume:
     """Fuse one depth (+color) frame.
 
     extrinsic: (4,4) camera_from_world (Open3D convention: the pose passed
     to ScalableTSDFVolume.integrate, mini1.py:352-356 uses inv(world pose)).
+    weight_max caps accumulated weights so long streams keep moving-average
+    behavior instead of freezing (Open3D bounds its weights the same way).
     """
     R = vol.resolution
     # voxel centers in world space
@@ -119,8 +122,9 @@ def integrate(
     w_new = upd.astype(jnp.float32)
 
     w_old = vol.weight
-    w_tot = w_old + w_new
-    tsdf = jnp.where(upd, (vol.tsdf * w_old + tsdf_new) / jnp.maximum(w_tot, 1.0), vol.tsdf)
+    w_sum = w_old + w_new
+    tsdf = jnp.where(upd, (vol.tsdf * w_old + tsdf_new) / jnp.maximum(w_sum, 1.0), vol.tsdf)
+    w_tot = jnp.minimum(w_sum, weight_max)
     out = dataclasses.replace(vol, tsdf=tsdf, weight=w_tot)
     if vol.color is not None and color is not None:
         c = jnp.asarray(color)
@@ -129,7 +133,7 @@ def integrate(
         cf = c[vc, uc]
         cnew = jnp.where(
             upd[..., None],
-            (vol.color * w_old[..., None] + cf) / jnp.maximum(w_tot, 1.0)[..., None],
+            (vol.color * w_old[..., None] + cf) / jnp.maximum(w_sum, 1.0)[..., None],
             vol.color,
         )
         out = dataclasses.replace(out, color=cnew)

@@ -73,18 +73,14 @@ class Scanner3D:
         return count
 
     def load_rgbd_frames(self, directory: Optional[str] = None) -> int:
-        """Offline reload (mini1.py:188-212) — the hardware-free path."""
-        from recon3d_tpu.camera.fake import FakeRGBDCamera
+        """Offline reload (mini1.py:188-212) — the hardware-free path.
 
-        cam = FakeRGBDCamera(directory or self.config.output_dir,
-                             depth_scale=self.config.stream.depth_scale)
-        cam.open()
-        self.frames = []
-        while True:
-            f = cam.grab()
-            if f is None or len(self.frames) >= self.config.max_fragments:
-                break
-            self.frames.append(f)
+        Decodes all frames at once through the native thread-pool loader
+        (native/frameio.cc) when built, falling back to per-file decode."""
+        self.frames = io.load_rgbd_frames_batch(
+            directory or self.config.output_dir,
+            depth_scale=self.config.stream.depth_scale,
+            max_frames=self.config.max_fragments)
         return len(self.frames)
 
     # ---- registration (mini1.py:213-341) ----

@@ -247,7 +247,18 @@ def read_triangle_mesh(path: str) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------- PNG images
 
 def read_color(path: str) -> np.ndarray:
-    """Read an RGB PNG -> (H,W,3) uint8 (reference: mini1.py:199 o3d.io.read_image)."""
+    """Read an RGB PNG -> (H,W,3) uint8 (reference: mini1.py:199 o3d.io.read_image).
+
+    Uses the native zlib codec (native/frameio.cc) when built, PIL otherwise.
+    """
+    from recon3d_tpu.utils import native
+
+    img = native.png_read(path)
+    if img is not None and img.dtype == np.uint8:
+        if img.ndim == 3 and img.shape[2] >= 3:
+            return np.ascontiguousarray(img[..., :3])
+        if img.ndim == 2:
+            return np.repeat(img[..., None], 3, axis=-1)
     from PIL import Image
 
     return np.asarray(Image.open(path).convert("RGB"))
@@ -259,23 +270,66 @@ def read_depth(path: str, depth_scale: float = 1000.0) -> np.ndarray:
     The reference saves depth as uint16 PNG in millimeters and divides by
     depth_scale=1000 on load (mini1.py:147-151 convert defaults).
     """
-    from PIL import Image
+    from recon3d_tpu.utils import native
 
-    raw = np.asarray(Image.open(path))
+    raw = native.png_read(path)
+    if raw is None or raw.ndim != 2:
+        from PIL import Image
+
+        raw = np.asarray(Image.open(path))
     return raw.astype(np.float32) / float(depth_scale)
 
 
+def load_rgbd_frames_batch(directory: str, depth_scale: float = 1000.0,
+                           max_frames: Optional[int] = None):
+    """Load all color_*.png / depth_*.png pairs from a scan directory
+    (mini1.py:188-212 load_rgbd_frames) — decoded in parallel by the native
+    thread pool when available, per-file otherwise.
+
+    Returns a list of (color (H,W,3) u8, depth (H,W) f32 meters)."""
+    import glob as _glob
+
+    from recon3d_tpu.utils import native
+
+    cp = sorted(_glob.glob(os.path.join(directory, "color_*.png")))
+    dp = sorted(_glob.glob(os.path.join(directory, "depth_*.png")))
+    n = min(len(cp), len(dp))
+    if max_frames is not None:
+        n = min(n, max_frames)
+    cp, dp = cp[:n], dp[:n]
+    if not n:
+        return []
+    first = read_color(cp[0])
+    h, w = first.shape[:2]
+    batch = native.load_rgbd_batch(cp, dp, w, h)
+    if batch is not None:
+        colors, depths = batch
+        return [(colors[i], depths[i].astype(np.float32) / float(depth_scale))
+                for i in range(n)]
+    return [(read_color(cp[i]), read_depth(dp[i], depth_scale))
+            for i in range(n)]
+
+
 def write_color(path: str, img: np.ndarray) -> None:
-    from PIL import Image
+    from recon3d_tpu.utils import native
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    Image.fromarray(np.asarray(img, np.uint8)).save(path)
+    arr = np.asarray(img, np.uint8)
+    if native.png_write(path, arr):
+        return
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
 
 
 def write_depth(path: str, depth_m: np.ndarray, depth_scale: float = 1000.0) -> None:
     """Write float meters as uint16 PNG millimeters (reference: mini1.py:154-158)."""
-    from PIL import Image
+    from recon3d_tpu.utils import native
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     raw = np.clip(np.asarray(depth_m, np.float64) * depth_scale, 0, 65535).astype(np.uint16)
+    if native.png_write(path, raw):
+        return
+    from PIL import Image
+
     Image.fromarray(raw).save(path)
