@@ -162,83 +162,83 @@ def _mk_finalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
     while b < d_pad:
         shift_bits.append(b)
         b *= 2
-    # pack (cost << LSH) | lane into one int32 so a single min-reduce yields
-    # both the minimum and its smallest-lane argmin (cv2's tie rule)
-    LSH = max(d_pad - 1, 1).bit_length()
-    LMASK = (1 << LSH) - 1
-    IBIG = 2 ** 30  # python int literal: kernels cannot capture jnp consts
+    # pack cost*2^k + lane in f32 so ONE min-reduce yields both the minimum
+    # and its smallest-lane argmin (cv2's tie rule). Values stay exact
+    # integers: max 57.6k * 128 + 127 < 2^24.
+    PK = float(1 << max(d_pad - 1, 1).bit_length())
+    BIGP = 2.0 ** 24
 
     def kernel(s_ref, disp_ref, valid_ref):
-        lane = jax.lax.broadcasted_iota(jnp.int32, (w_pad, d_pad), 1)
-        xcol = jax.lax.broadcasted_iota(jnp.int32, (w_pad, 1), 0)
+        # whole-band (FH, W, D) dataflow: v5e has 128 MB of VMEM, so the
+        # ~6 band-sized f32 temporaries (~8 MB each at 1080p) are cheap and
+        # the masked-roll ladders/reduces run over 8 rows at once instead of
+        # a row loop
+        S = _u16f(s_ref[:])  # (FH, W, D)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (fh, w_pad, d_pad), 2)
+        lanef = lane.astype(jnp.float32)
+        xcol = jax.lax.broadcasted_iota(jnp.int32, (fh, w_pad, 1), 1)
 
-        def row(y, _):
-            Si = s_ref[y].astype(jnp.int32)  # (W, D), values < 2^16
-            P = (Si << LSH) | lane
-            mp = jnp.min(P, axis=-1, keepdims=True)
-            best = (mp >> LSH).astype(jnp.float32)
-            d0 = mp & LMASK  # (W, 1)
+        P = S * PK + lanef
+        mp = jnp.min(P, axis=-1, keepdims=True)
+        d0f = mp - jnp.floor(mp / PK) * PK
+        best = (mp - d0f) * (1.0 / PK)
+        d0 = d0f.astype(jnp.int32)  # (FH, W, 1)
 
-            if do_subpixel:
-                S = Si.astype(jnp.float32)
-                d0c = jnp.clip(d0, 1, d_real - 2)
-                onehot = lane == d0c
-                Sm = jnp.concatenate([S[:, :1], S[:, :-1]], axis=-1)
-                Sp = jnp.concatenate([S[:, 1:], S[:, -1:]], axis=-1)
-                # c0 equals `best` except at clipped borders, where the
-                # parabola is discarded anyway (interior mask below)
-                c0 = best
-                cm = jnp.sum(jnp.where(onehot, Sm, 0.0), axis=-1, keepdims=True)
-                cp = jnp.sum(jnp.where(onehot, Sp, 0.0), axis=-1, keepdims=True)
-                denom = jnp.maximum(cm + cp - 2.0 * c0, 1e-6)
-                delta = jnp.clip((cm - cp) / (2.0 * denom), -0.5, 0.5)
-                refined = d0c.astype(jnp.float32) + delta
-                interior = (d0 >= 1) & (d0 <= d_real - 2)
-                disp = jnp.where(interior, refined, d0.astype(jnp.float32))
-            else:
-                disp = d0.astype(jnp.float32)
+        if do_subpixel:
+            d0c = jnp.clip(d0, 1, d_real - 2)
+            onehot = lane == d0c
+            Sm = jnp.concatenate([S[..., :1], S[..., :-1]], axis=-1)
+            Sp = jnp.concatenate([S[..., 1:], S[..., -1:]], axis=-1)
+            # c0 equals `best` except at clipped borders, where the parabola
+            # is discarded anyway (interior mask below)
+            c0 = best
+            cm = jnp.sum(jnp.where(onehot, Sm, 0.0), axis=-1, keepdims=True)
+            cp = jnp.sum(jnp.where(onehot, Sp, 0.0), axis=-1, keepdims=True)
+            denom = jnp.maximum(cm + cp - 2.0 * c0, 1e-6)
+            delta = jnp.clip((cm - cp) / (2.0 * denom), -0.5, 0.5)
+            refined = d0c.astype(jnp.float32) + delta
+            interior = (d0 >= 1) & (d0 <= d_real - 2)
+            disp = jnp.where(interior, refined, d0.astype(jnp.float32))
+        else:
+            disp = d0.astype(jnp.float32)
 
-            if uniqueness_ratio > 0:
-                adjacent = jnp.abs(lane - d0) <= 1
-                second = (jnp.min(jnp.where(adjacent, IBIG, P), axis=-1,
-                                  keepdims=True) >> LSH).astype(jnp.float32)
-                uniq = second * 100.0 > best * (100.0 + uniqueness_ratio)
-            else:
-                uniq = jnp.ones((w_pad, 1), bool)
+        if uniqueness_ratio > 0:
+            adjacent = jnp.abs(lane - d0) <= 1
+            ms = jnp.min(jnp.where(adjacent, BIGP, P), axis=-1, keepdims=True)
+            second = jnp.floor(ms * (1.0 / PK))
+            uniq = second * 100.0 > best * (100.0 + uniqueness_ratio)
+        else:
+            uniq = jnp.ones((fh, w_pad, 1), bool)
 
-            valid = uniq & (xcol >= d0)
+        valid = uniq & (xcol >= d0)
 
-            if disp12_max_diff >= 0:
-                # right-view WTA from the shared volume: T(x, d) = S(x+d, d)
-                T = P
-                for bshift in shift_bits:
-                    # np.roll(T, -b) with the non-negative shift pltpu needs
-                    T = jnp.where((lane & bshift) > 0,
-                                  pltpu.roll(T, w_pad - bshift, axis=0), T)
-                T = jnp.where(xcol + lane >= w_real, IBIG, T)
-                dR = jnp.min(T, axis=-1, keepdims=True) & LMASK
-                # G(x) = dR(x - d0(x)), gather-free: build the lane-indexed
-                # plane DR2(x, d) = dR(x - d) with per-lane uniform rolls
-                # (shift amount = lane index, so masked-roll composition is
-                # exact), then one-hot-pick lane d0(x). A direct composition
-                # masked on d0's bits would be wrong: intermediate values at
-                # other columns get routed by their own d0, not ours.
-                DR2 = jnp.broadcast_to(dR, (w_pad, d_pad))
-                for bshift in shift_bits:
-                    DR2 = jnp.where((lane & bshift) > 0,
-                                    pltpu.roll(DR2, bshift, axis=0), DR2)
-                G = jnp.sum(jnp.where(lane == d0, DR2, 0), axis=-1,
-                            keepdims=True)
-                valid = valid & (jnp.abs(d0 - G) <= disp12_max_diff)
+        if disp12_max_diff >= 0:
+            # right-view WTA from the shared volume: T(x, d) = S(x+d, d);
+            # the shift amount is the lane index (constant along x), so the
+            # masked-roll ladder composes exactly
+            T = P
+            for bshift in shift_bits:
+                # np.roll(T, -b) with the non-negative shift pltpu needs
+                T = jnp.where((lane & bshift) > 0,
+                              pltpu.roll(T, w_pad - bshift, axis=1), T)
+            T = jnp.where(xcol + lane >= w_real, BIGP, T)
+            mr = jnp.min(T, axis=-1, keepdims=True)
+            dR = mr - jnp.floor(mr / PK) * PK  # (FH, W, 1) f32 lane index
+            # G(x) = dR(x - d0(x)), gather-free: build the lane-indexed
+            # plane DR2(x, d) = dR(x - d) with per-lane uniform rolls, then
+            # one-hot-pick lane d0(x). A direct ladder masked on d0's bits
+            # would be wrong: intermediate values at other columns get
+            # routed by their own d0, not ours.
+            DR2 = jnp.broadcast_to(dR, (fh, w_pad, d_pad))
+            for bshift in shift_bits:
+                DR2 = jnp.where((lane & bshift) > 0,
+                                pltpu.roll(DR2, bshift, axis=1), DR2)
+            G = jnp.sum(jnp.where(lane == d0, DR2, 0.0), axis=-1,
+                        keepdims=True)
+            valid = valid & (jnp.abs(d0f - G) <= disp12_max_diff)
 
-            disp_ref[y] = disp[:, 0]
-            valid_ref[y] = valid[:, 0].astype(jnp.int32)
-            return 0
-
-        # fori_loop (not a static python loop) so the per-row temporaries
-        # (~6 (W, D) f32 planes) are reused across rows instead of fh copies
-        # being live at once — the static loop blew the scoped VMEM limit.
-        jax.lax.fori_loop(0, fh, row, 0)
+        disp_ref[:] = disp[..., 0]
+        valid_ref[:] = valid[..., 0].astype(jnp.int32)
 
     return kernel
 
@@ -465,7 +465,7 @@ def cost_and_fwd(
     """
     H, W = left_gray.shape
     r = block_size // 2
-    BH = 32
+    BH = 64
     XT = 128  # lane-aligned DMA windows require 128-multiple x tiles
     assert wp % XT == 0
     nb, nx = hp // BH, wp // XT
@@ -546,10 +546,10 @@ def aggregate_and_finalize(
     skip the standalone forward-scan kernel.
     """
     HP, WP, DP = cost_u16.shape
-    assert HP % 32 == 0 and WP % 8 == 0 and DP % 128 == 0, cost_u16.shape
+    assert HP % 64 == 0 and WP % 8 == 0 and DP % 128 == 0, cost_u16.shape
     _, XT = _pick_xtile(WP)
     assert WP % XT == 0, (WP, XT)
-    BH, BH3, FH = 32, 16, 8
+    BH, BH3, FH = 64, 16, 8
     nb, nx = HP // BH, WP // XT
     nb3 = HP // BH3
     p1f, p2f = float(p1) * 2.0, float(p2) * 2.0  # x2 cost scaling
@@ -657,7 +657,7 @@ def sgm_disparity_pallas(
         p2 = 32.0 * block_size * block_size
 
     H, W = left_gray.shape
-    HP = _ceil_to(H, 32)
+    HP = _ceil_to(H, 64)
     WP, _ = _pick_xtile(W)
     DP = _ceil_to(num_disparities, 128)
 
