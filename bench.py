@@ -99,13 +99,12 @@ def main():
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 
-    # ---- accuracy: pre-WLS parity vs cv2.StereoSGBM on the same rectified
-    # pair, both consuming identical uint8 images (cv2 cannot take floats;
-    # comparing float-input-ours vs uint8-input-cv2 would measure input
-    # quantization, not the matcher)
+    # ---- accuracy (the BASELINE metric): pre-WLS parity vs cv2.StereoSGBM
+    # on a rectified pair, both consuming identical uint8 images (cv2 cannot
+    # take floats; comparing float-input-ours vs uint8-input-cv2 would
+    # measure input quantization, not the matcher)
     to8 = lambda a: np.clip(np.round(a), 0, 255).astype(np.uint8)
-    rect_ours_l = to8(np.asarray(remap_two_pass(jl, plan)))
-    rect_ours_r = to8(np.asarray(remap_two_pass(jr, plan)))
+    rect_ours_l, rect_ours_r = to8(raw_l), to8(raw_r)
     disp_p, valid_p = sgm_pallas.sgm_disparity_pallas(
         jnp.asarray(rect_ours_l, jnp.float32),
         jnp.asarray(rect_ours_r, jnp.float32),
@@ -135,20 +134,23 @@ def main():
         P1=8 * 25, P2=32 * 25, disp12MaxDiff=1, uniquenessRatio=10,
         speckleWindowSize=50, speckleRange=32, preFilterCap=63, mode=mode4)
 
-    # full-pipeline oracle: cv2 remaps the raw pair itself
+    # end-to-end pipelines compared on warped content: ours (two-pass warp
+    # + Pallas SGM) vs cv2's (cv2.remap + SGBM) on the same raw pair + maps
+    wl = to8(np.asarray(remap_two_pass(jl, plan)))
+    wr = to8(np.asarray(remap_two_pass(jr, plan)))
+    disp_w, valid_w = sgm_pallas.sgm_disparity_pallas(
+        jnp.asarray(wl, jnp.float32), jnp.asarray(wr, jnp.float32),
+        num_disparities=D, block_size=5)
+    disp_w, valid_w = np.asarray(disp_w), np.asarray(valid_w)
     cvl = cv2.remap(raw_l, mx, my, cv2.INTER_LINEAR)
     cvr = cv2.remap(raw_r, mx, my, cv2.INTER_LINEAR)
     d_cv_full = sgbm.compute(to8(cvl), to8(cvr)).astype(np.float32) / 16.0
-    both_f = valid_p & (d_cv_full > 0)
-    rmse_cv_full = float(np.sqrt(((disp_p[both_f] - d_cv_full[both_f]) ** 2).mean()))
+    both_f = valid_w & (d_cv_full > 0)
+    rmse_cv_full = float(np.sqrt(((disp_w[both_f] - d_cv_full[both_f]) ** 2).mean()))
 
-    # analytic ground truth on the undistorted pair (matcher-only check)
-    disp_u, valid_u = sgm_pallas.sgm_disparity_pallas(
-        jnp.asarray(raw_l), jnp.asarray(raw_r), num_disparities=D,
-        block_size=5)
-    disp_u, valid_u = np.asarray(disp_u), np.asarray(valid_u)
-    mt = valid_u & (disp_true > 1.0)
-    rmse_truth = float(np.sqrt(((disp_u[mt] - disp_true[mt]) ** 2).mean()))
+    # analytic ground truth (rendered disparity field) on the same pair
+    mt = valid_p & (disp_true > 1.0)
+    rmse_truth = float(np.sqrt(((disp_p[mt] - disp_true[mt]) ** 2).mean()))
 
     print(json.dumps({
         "metric": "stereo_1080p_pair_to_colored_cloud_fps",

@@ -40,9 +40,14 @@ def xsobel_prefilter(gray: jax.Array, prefilter_cap: int = 63) -> jax.Array:
 
 def _bt_bounds(img: jax.Array):
     """Per-pixel min/max of the linearly interpolated half-sample neighborhood
-    (Birchfield-Tomasi). Returns (lo, hi) arrays shaped like img."""
-    left = 0.5 * (img + jnp.concatenate([img[:, :1], img[:, :-1]], axis=1))
-    right = 0.5 * (img + jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1))
+    (Birchfield-Tomasi). Returns (lo, hi) arrays shaped like img.
+
+    Half-samples use floor((a+b)/2), matching OpenCV's integer division in
+    calcPixelCostBT — on integer prefiltered images this keeps our costs
+    bit-identical to cv2's instead of off by half a level (which flips WTA
+    near-ties and inflates parity RMSE)."""
+    left = jnp.floor(0.5 * (img + jnp.concatenate([img[:, :1], img[:, :-1]], axis=1)))
+    right = jnp.floor(0.5 * (img + jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)))
     lo = jnp.minimum(jnp.minimum(left, right), img)
     hi = jnp.maximum(jnp.maximum(left, right), img)
     return lo, hi
