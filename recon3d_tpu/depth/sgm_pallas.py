@@ -128,6 +128,79 @@ def _mk_hscan_kernel(xt: int, p1: float, p2: float, reverse: bool, accumulate: b
     return kernel
 
 
+def _mk_bwd_down_kernel(bh: int, xt: int, nx: int, p1: float, p2: float,
+                        static_chunks: bool = True):
+    """Fused backward-horizontal + downward-vertical scan.
+
+    Grid (bands top->bottom, xtiles right->left): with the band as the outer
+    grid axis, the horizontal carry resets per band while each column
+    group's vertical carry (indexed by tile in a (nx, XT, D) scratch)
+    persists across bands — both directions ride one pass over the cost
+    volume, saving the separate down-kernel's full-volume read+write.
+    Writes V3 = V1 + L_bwd + L_down.
+    """
+    n_chunks = xt // 16
+    assert n_chunks * 16 == xt
+
+    def kernel(cost_ref, v1_ref, out_ref, hcarry_ref, vcarry_ref):
+        b = pl.program_id(0)
+        x = pl.program_id(1)  # 0 = rightmost tile (index_map reverses)
+        tile = nx - 1 - x
+
+        @pl.when(x == 0)
+        def _():
+            hcarry_ref[:] = jnp.zeros_like(hcarry_ref)
+
+        @pl.when(b == 0)
+        def _():
+            vcarry_ref[tile] = jnp.zeros_like(vcarry_ref[tile])
+
+        if static_chunks:
+            carry = hcarry_ref[:]
+            for ci in range(n_chunks - 1, -1, -1):
+                c0 = ci * 16
+                chunk = _u16f(cost_ref[:, pl.ds(c0, 16), :])
+                acc = _u16f(v1_ref[:, pl.ds(c0, 16), :])
+                outs = []
+                for xx in range(15, -1, -1):
+                    carry = _path_step(carry, chunk[:, xx, :], p1, p2)
+                    outs.append(carry + acc[:, xx, :])
+                out_ref[:, pl.ds(c0, 16), :] = _fu16(
+                    jnp.stack(outs[::-1], axis=1))
+            hcarry_ref[:] = carry
+
+            vc = vcarry_ref[tile]
+            for y in range(bh):
+                c = _u16f(cost_ref[y])
+                vc = _path_step(vc, c, p1, p2)
+                out_ref[y] = _fu16(_u16f(out_ref[y]) + vc)
+            vcarry_ref[tile] = vc
+        else:
+            # dynamic loops for interpret/testing mode (small traces; the
+            # per-column dynamic-lane access Mosaic can't lower is fine in
+            # the interpreter)
+            def col_body(cc, carry):
+                c = xt - 1 - cc
+                cv = _u16f(cost_ref[:, pl.ds(c, 1), :])[:, 0, :]
+                carry = _path_step(carry, cv, p1, p2)
+                acc = _u16f(v1_ref[:, pl.ds(c, 1), :])[:, 0, :]
+                out_ref[:, pl.ds(c, 1), :] = _fu16(carry + acc)[:, None, :]
+                return carry
+
+            hcarry_ref[:] = jax.lax.fori_loop(0, xt, col_body, hcarry_ref[:])
+
+            def row_body(y, vc):
+                c = _u16f(cost_ref[y])
+                vc = _path_step(vc, c, p1, p2)
+                out_ref[y] = _fu16(_u16f(out_ref[y]) + vc)
+                return vc
+
+            vcarry_ref[tile] = jax.lax.fori_loop(0, bh, row_body,
+                                                 vcarry_ref[tile])
+
+    return kernel
+
+
 def _mk_vscan_kernel(bh: int, p1: float, p2: float, reverse: bool):
     """Vertical scan kernel: grid (xtiles, bands); carry (XT, D) scratch."""
 
@@ -573,23 +646,18 @@ def aggregate_and_finalize(
             interpret=interpret,
         )(cost_u16)
 
-    v2 = pl.pallas_call(
-        _mk_hscan_kernel(XT, p1f, p2f, reverse=True, accumulate=True),
+    v3 = pl.pallas_call(
+        _mk_bwd_down_kernel(BH, XT, nx, p1f, p2f,
+                            static_chunks=not interpret),
         grid=(nb, nx),
         in_specs=[hblock_r, hblock_r], out_specs=hblock_r, out_shape=vol_shape,
-        scratch_shapes=[pltpu.VMEM((BH, DP), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BH, DP), jnp.float32),
+                        pltpu.VMEM((nx, XT, DP), jnp.float32)],
         input_output_aliases={1: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(cost_u16, v1)
-
-    v3 = pl.pallas_call(
-        _mk_vscan_kernel(BH3, p1f, p2f, reverse=False),
-        grid=(nx, nb3),
-        in_specs=[vblock, vblock], out_specs=vblock, out_shape=vol_shape,
-        scratch_shapes=[pltpu.VMEM((XT, DP), jnp.float32)],
-        input_output_aliases={1: 0},
-        interpret=interpret,
-    )(cost_u16, v2)
 
     s = pl.pallas_call(
         _mk_vscan_kernel(BH3, p1f, p2f, reverse=True),
@@ -597,6 +665,8 @@ def aggregate_and_finalize(
         in_specs=[vblock_r, vblock_r], out_specs=vblock_r, out_shape=vol_shape,
         scratch_shapes=[pltpu.VMEM((XT, DP), jnp.float32)],
         input_output_aliases={1: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(cost_u16, v3)
 
