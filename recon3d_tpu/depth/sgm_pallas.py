@@ -1,15 +1,22 @@
 """Pallas TPU semi-global matching: the production depth hot path.
 
-Re-implements cv2.StereoSGBM.compute (reference depth4.py:254-255) as five
+Re-implements cv2.StereoSGBM.compute (reference depth4.py:254-255) as four
 fused Pallas kernels over a uint16 cost volume, replacing the lax.scan
-implementation in sgm.py (which is kept as the portable/oracle fallback).
+implementation in sgm.py (which is kept as the portable/oracle fallback):
+
+  1. cost_and_fwd — Birchfield-Tomasi cost + box window computed from
+     halo-DMA'd image slabs, fused with the forward-horizontal path scan;
+  2. bwd+down      — backward-horizontal and downward-vertical paths in one
+     pass (band-outer grid keeps both carries live);
+  3. up            — upward-vertical path;
+  4. finalize      — WTA/subpixel/uniqueness/right-view/LR on whole bands.
 
 Why this shape:
 - The (H, W, D) volume at 1080p/D=128 is ~0.5 GB in uint16; HBM traffic, not
-  FLOPs, bounds SGM on TPU. Costs are stored once and each directional pass
-  streams it once (read) and writes one partial-sum volume, giving ~7 GB of
-  traffic total (~9 ms at v5e bandwidth) instead of the many full-volume f32
-  materializations XLA produces for the scan version.
+  FLOPs, bounds SGM on TPU. Costs are stored once and each pass streams it
+  once, ~4.3 GB of traffic total (~5 ms at v5e bandwidth) instead of the
+  many full-volume f32 materializations XLA produces for the scan version.
+  Measured end-to-end: 963 ms (round-1 XLA scans) -> 38 ms.
 - All arithmetic is integer-valued: Birchfield-Tomasi costs on the x-Sobel
   prefilter step in halves, so everything is scaled x2 into exact uint16
   integers (max path sum 4*(12800+P2) < 65536). f32 holds these exactly in

@@ -79,8 +79,7 @@ def make_volume(
     )
 
 
-@jax.jit
-def integrate(
+def _integrate(
     vol: TSDFVolume,
     depth: jax.Array,
     intr: CameraIntrinsics,
@@ -138,6 +137,14 @@ def integrate(
         )
         out = dataclasses.replace(out, color=cnew)
     return out
+
+
+# Standard entry point, and a donating twin for streaming loops: the
+# caller's volume buffers are reused in place (no 335 MB grid copy per
+# frame), so the previous volume must not be touched afterwards — the
+# producer/consumer pipeline (pipeline.streaming) always rebinds.
+integrate = jax.jit(_integrate)
+integrate_donated = jax.jit(_integrate, donate_argnums=(0,))
 
 
 @partial(jax.jit, static_argnames=("capacity",))

@@ -144,6 +144,82 @@ def grid_knn(
 
 
 @partial(jax.jit, static_argnames=("grid_size", "cell_capacity"))
+def grid_pca_moments(
+    points: jax.Array,
+    valid: jax.Array,
+    radius: float,
+    grid_size: int = 64,
+    cell_capacity: int = 8,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-point neighborhood moments within `radius`: (count (N,),
+    mean (N, 3), covariance (N, 3, 3)), self included.
+
+    The TPU-native large-N normal-estimation kernel: instead of gathering
+    sorted neighbor lists (whose (cells, C, k) buffers waste 8-16x on lane
+    padding and OOM at 1M points), every candidate's weighted contribution
+    is accumulated directly into first/second moments laid out as
+    (C, stat, G^3) — the huge G^3 axis rides the lanes, so nothing pads.
+    PCA normals follow from cov's smallest eigenvector.
+    """
+    p = jnp.asarray(points, jnp.float32)
+    G, C = grid_size, cell_capacity
+    table, _, point_slot, _ = _bin_points(p, valid, radius, G, C)
+    # (G^3*C, 3) -> (C, 3, G^3): cells on lanes
+    tg = table.reshape(G * G * G, C, 3).transpose(1, 2, 0)
+    occupied = tg[:, 0, :] < BIG / 2  # (C, G^3) slot has a real point
+    tg = jnp.where(occupied[:, None, :], tg, 0.0)
+    grid5 = tg.reshape(C, 3, G, G, G)
+    occ5 = occupied.reshape(C, G, G, G)
+
+    r2 = jnp.float32(radius * radius)
+    cnt = jnp.zeros((C, G * G * G), jnp.float32)
+    s1 = jnp.zeros((C, 3, G * G * G), jnp.float32)
+    s2 = jnp.zeros((C, 6, G * G * G), jnp.float32)  # xx,yy,zz,xy,xz,yz
+
+    for off in _neighbor_offsets():
+        cand = grid5
+        cocc = occ5
+        wrap = jnp.zeros((G, G, G), bool)
+        for ax, sh in enumerate(off):
+            if sh:
+                cand = jnp.roll(cand, -sh, axis=2 + ax)
+                cocc = jnp.roll(cocc, -sh, axis=1 + ax)
+                coord = jax.lax.broadcasted_iota(jnp.int32, (G, G, G), ax)
+                wrap = wrap | (coord + sh < 0) | (coord + sh >= G)
+        candf = cand.reshape(C, 3, G * G * G)
+        coccf = (cocc.reshape(C, G * G * G)
+                 & ~wrap.reshape(1, G * G * G))
+        diff = tg[:, None] - candf[None]  # (Cq, Cc, 3, G^3)
+        d2 = jnp.sum(diff * diff, axis=2)  # (Cq, Cc, G^3)
+        w = ((d2 <= r2) & coccf[None] & occupied[:, None]).astype(jnp.float32)
+        cnt = cnt + jnp.sum(w, axis=1)
+        s1 = s1 + jnp.einsum("cjg,jdg->cdg", w, candf)
+        px, py, pz = candf[:, 0], candf[:, 1], candf[:, 2]
+        sec = jnp.stack([px * px, py * py, pz * pz,
+                         px * py, px * pz, py * pz], axis=1)  # (Cc, 6, G^3)
+        s2 = s2 + jnp.einsum("cjg,jdg->cdg", w, sec)
+
+    # back to slot-major (slot id = cell*C + rank), then to original order
+    cnt_s = cnt.T.reshape(-1)  # (G^3, C) -> flat cell*C + rank
+    s1_s = jnp.transpose(s1, (2, 0, 1)).reshape(-1, 3)
+    s2_s = jnp.transpose(s2, (2, 0, 1)).reshape(-1, 6)
+
+    slot = jnp.maximum(point_slot, 0)
+    has = (point_slot >= 0)
+    n = jnp.where(has, cnt_s[slot], 0.0)
+    nn = jnp.maximum(n, 1.0)[:, None]
+    mean = s1_s[slot] / nn
+    m2 = s2_s[slot] / nn
+    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
+    cov = jnp.stack([
+        jnp.stack([m2[:, 0] - mx * mx, m2[:, 3] - mx * my, m2[:, 4] - mx * mz], -1),
+        jnp.stack([m2[:, 3] - mx * my, m2[:, 1] - my * my, m2[:, 5] - my * mz], -1),
+        jnp.stack([m2[:, 4] - mx * mz, m2[:, 5] - my * mz, m2[:, 2] - mz * mz], -1),
+    ], -2)
+    return n, mean, cov
+
+
+@partial(jax.jit, static_argnames=("grid_size", "cell_capacity"))
 def grid_nearest_neighbor(
     query: jax.Array,
     query_valid: jax.Array,

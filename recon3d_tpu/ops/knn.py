@@ -8,8 +8,10 @@ pointer-chasing structures hostile to TPUs; instead:
   a matmul (||a-b||^2 = |a|^2 + |b|^2 - 2 a.b, MXU-shaped), queries processed
   in tiles with lax.map so memory stays O(tile x N), top-k per tile.
 - `radius_count` / `radius_neighbors`: same blocking for range queries.
-- `grid_knn`: approximate k-NN via voxel-hash binning for the streaming hot
-  path — O(N * 27 * bucket) instead of O(N^2).
+
+The large-N path (voxel-binned `grid_knn` / `grid_nearest_neighbor`,
+O(N * 27 * bucket) instead of O(N^2)) lives in ops.grid_knn; normals and
+ICP correspondences switch to it automatically above a size threshold.
 
 All functions take (N, 3) points + validity mask; invalid points neither
 match nor query (their results are masked).

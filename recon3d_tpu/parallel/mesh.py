@@ -3,8 +3,8 @@
 The reference has no multi-device anything (SURVEY.md section 2.5); its
 parallelism is host threads. Here scaling is native: frames / fragments /
 registration pairs shard over a `jax.sharding.Mesh` axis ("frame" — data
-parallel), and large images can additionally shard rows ("row" — the
-tensor-parallel analog for the H x W x D cost volume).
+parallel) via the shard_map programs in parallel.batch; make_mesh also
+builds 2-D layouts for callers that want an additional axis.
 
 Collectives ride ICI via XLA (psum/all_gather inserted by pjit/shard_map);
 nothing here talks NCCL/MPI.

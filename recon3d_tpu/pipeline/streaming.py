@@ -71,14 +71,23 @@ class StreamingFusion:
         self.keyframe: Optional[RGBDImage] = None
 
     def _capture_loop(self):
+        import jax
+
         fps = FPSCounter(self.logger, "capture")
         while not self.stop_event.is_set():
             frame = self.camera.grab()
             if frame is None:
                 self.stop_event.set()
                 break
+            # device-resident double buffering: device_put is asynchronous,
+            # so frame k+1's host->HBM transfer overlaps the fusion thread's
+            # odometry+integrate on frame k (SURVEY.md section 7 item 8; the
+            # reference's queue shipped host arrays and paid the copy on the
+            # consumer's critical path)
+            color, depth = frame
+            dev = (jax.device_put(color), jax.device_put(depth))
             try:
-                self.queue.put(frame, timeout=0.5)
+                self.queue.put(dev, timeout=0.5)
                 fps.tick()
             except queue.Full:
                 continue  # drop frame under backpressure (bounded queue)
@@ -120,7 +129,9 @@ class StreamingFusion:
                     self.world_from_key = self.world_from_cam.copy()
                     self._rel_init = jnp.eye(4, dtype=jnp.float32)
             extrinsic = jnp.asarray(np.linalg.inv(self.world_from_cam), jnp.float32)
-            self.volume = _tsdf.integrate(
+            # donated integrate: the grid updates in place instead of
+            # allocating a fresh ~R^3 volume every frame
+            self.volume = _tsdf.integrate_donated(
                 self.volume, cur.depth, self.intrinsics, extrinsic,
                 color=cur.color, depth_trunc=cfg.depth_trunc)
             self.trajectory.append(self.world_from_cam.copy())

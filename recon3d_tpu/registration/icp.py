@@ -38,7 +38,18 @@ class RegistrationResult(NamedTuple):
 
 
 def _correspondences(src_pts, src_valid, tgt, threshold):
-    idx, d2 = _knn.nearest_neighbor(src_pts, src_valid, tgt.points, tgt.valid)
+    if src_pts.shape[0] * tgt.points.shape[0] > 1 << 26:
+        # large clouds: voxel-binned 1-NN (ops.grid_knn) — exact for
+        # matches within `threshold` (cell edge = threshold, so the
+        # 27-neighborhood covers the search ball), and matches beyond
+        # threshold are rejected below either way
+        from recon3d_tpu.ops.grid_knn import grid_nearest_neighbor
+
+        idx, d2 = grid_nearest_neighbor(src_pts, src_valid, tgt.points,
+                                        tgt.valid, threshold)
+    else:
+        idx, d2 = _knn.nearest_neighbor(src_pts, src_valid, tgt.points,
+                                        tgt.valid)
     ok = src_valid & (d2 <= threshold * threshold)
     return idx, d2, ok
 

@@ -78,3 +78,32 @@ class TestGridNearestNeighbor:
         # (a-b)^2 directly — identical up to f32 formula rounding
         np.testing.assert_allclose(gd[m], bd[m], rtol=2e-3, atol=2e-7)
         assert (gi[m] == bi[m]).mean() > 0.999
+
+
+class TestGridMoments:
+    def test_moment_normals_match_analytic_surface(self):
+        """PCA normals from grid_pca_moments vs the analytic normal of a
+        smooth synthetic surface — the large-N (>32k points) path
+        estimate_normals switches to."""
+        from recon3d_tpu.pointcloud.normals import estimate_normals
+        from recon3d_tpu.utils.types import PointCloud
+
+        rng = np.random.RandomState(0)
+        n = 40960  # above the grid-path threshold
+        xy = rng.rand(n, 2).astype(np.float32)
+        z = 0.05 * np.sin(5 * xy[:, 0]) * np.cos(5 * xy[:, 1])
+        pts = np.stack([xy[:, 0], xy[:, 1], z.astype(np.float32)], 1)
+        pc = PointCloud(points=jnp.asarray(pts), valid=jnp.ones(n, bool))
+        out = estimate_normals(pc, radius=0.016, grid_size=64,
+                               cell_capacity=16)
+        ng = np.asarray(out.normals)
+        dzdx = 0.25 * np.cos(5 * xy[:, 0]) * np.cos(5 * xy[:, 1])
+        dzdy = -0.25 * np.sin(5 * xy[:, 0]) * np.sin(5 * xy[:, 1])
+        na = np.stack([-dzdx, -dzdy, np.ones(n)], 1)
+        na /= np.linalg.norm(na, axis=1, keepdims=True)
+        # interior points only: the voxel grid covers grid_size*radius from
+        # the min corner (~1.02 here), and border neighborhoods are one-sided
+        interior = np.all((pts[:, :2] > 0.05) & (pts[:, :2] < 0.95), axis=1)
+        cos = np.abs(np.sum(ng * na, 1))[interior]
+        assert np.median(cos) > 0.97, f"median |cos| {np.median(cos):.4f}"
+        assert (cos > 0.9).mean() > 0.9

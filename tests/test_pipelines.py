@@ -26,7 +26,8 @@ def _small_cfg(tmp_path):
                                     radius=0.05, normal_radius=0.08,
                                     normal_max_nn=20, capacity=1 << 14),
         registration=RegistrationConfig(voxel_size=0.03, icp_threshold=0.06,
-                                        icp_max_iterations=30),
+                                        icp_max_iterations=30,
+                                        ransac_max_iterations=4096),
         fusion=FusionConfig(voxel_size=0.015, sdf_trunc=0.06,
                             grid_resolution=96, depth_trunc=2.5),
         mesh=MeshConfig(poisson_depth=5, smoothing_iterations=2),
@@ -162,6 +163,7 @@ class TestCLI:
             "--processing.radius", "0.05",
             "--registration.voxel_size", "0.03",
             "--registration.icp_threshold", "0.06",
+            "--registration.ransac_max_iterations", "4096",
             "--mesh.poisson_depth", "5",
             "--mesh.smoothing_iterations", "2",
         ])
