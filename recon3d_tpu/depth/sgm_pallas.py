@@ -452,13 +452,20 @@ def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
             carry_ref[:] = jax.lax.fori_loop(0, xt, col_body, carry_ref[:])
             return
 
+        # dead rows (below the real image) are band-constant: hoist
+        dead_rows = (row0 + row_iota) >= h_real
         carry = carry_ref[:]
+        window = []  # raw colsums shared across chunk boundaries
         for ci in range(n_chunks):
             c0 = ci * 16
             cols = []
             # columns c0-r .. c0+15+r within the tile (slab col = tile col
-            # + r offset, since the slab starts r columns left of the tile)
-            window = [raw_colsum(c0 + k) for k in range(16 + 2 * r)]
+            # + r offset, since the slab starts r columns left of the tile);
+            # the 2r-wide overlap with the previous chunk is reused
+            window = window[16:] if window else []
+            lo = c0 + len(window)
+            window = window + [raw_colsum(k) for k in
+                               range(lo, c0 + 16 + 2 * r)]
             for k in range(16):
                 box = window[k]
                 for t in range(1, block_size):
@@ -474,8 +481,7 @@ def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
                     box = jnp.where(is_last_tile, box_cl, box)
                 gx = x * xt + c
                 invalid = (gx < min_disparity + lane + r) | (lane >= d_real)
-                invalid = invalid | (gx >= w_real)
-                dead = ((row0 + row_iota) >= h_real) | (gx >= w_real)
+                dead = dead_rows | (gx >= w_real)
                 cost = jnp.where(invalid, INVALID_COST, box)
                 cost = jnp.where(dead, 0.0, cost)
                 carry = _path_step(carry, cost, p1, p2)
