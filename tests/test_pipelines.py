@@ -169,3 +169,40 @@ class TestCLI:
         ])
         assert rc == 0
         assert "scan complete" in capsys.readouterr().out
+
+
+class TestLiveViewer:
+    def test_headless_sink_and_key_tuning(self):
+        """LiveDepthViewer (the depth4.py imshow+keyboard twin) without a
+        display: frames go to the sink, keys retune the live config."""
+        from recon3d_tpu.config import StereoMatcherConfig, WLSConfig
+        from recon3d_tpu.pipeline.live import LiveDepthViewer
+
+        class FakePipe:
+            def __init__(self):
+                self.matcher_config = StereoMatcherConfig()
+                self.wls_config = WLSConfig()
+
+            def adjust(self, key):
+                self.matcher_config = self.matcher_config.adjust(key)
+                self.wls_config = self.wls_config.adjust(key)
+
+            def run(self, cl, cr, max_frames=None, on_frame=None):
+                n = 0
+                while n < (max_frames or 3):
+                    out = (np.zeros((8, 8)), np.zeros((8, 8)),
+                           np.zeros((8, 8, 3)))
+                    n += 1
+                    if on_frame is not None and on_frame(n, out) is False:
+                        break
+                return n
+
+        frames = []
+        v = LiveDepthViewer(FakePipe(), sink=lambda nm, im: frames.append(nm))
+        assert v.run(None, None, max_frames=3) == 3
+        assert frames == ["disparity"] * 3
+        assert v.handle_key("w")
+        assert v.pipeline.matcher_config.num_disparities == 144
+        assert v.handle_key("e")
+        assert v.pipeline.wls_config.lam == 16000.0
+        assert v.handle_key("\x1b") is False  # ESC quits
