@@ -69,7 +69,7 @@ class WLSConfig:
 
     lam: float = 8000.0
     sigma_color: float = 1.5
-    iterations: int = 12  # solver sweeps for our recursive filter
+    iterations: int = 6  # FGS sweeps (the FGS paper uses T=3; 6 is safe margin)
 
     def adjust(self, key: str) -> "WLSConfig":
         if key == "e":

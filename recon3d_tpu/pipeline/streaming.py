@@ -24,6 +24,7 @@ from recon3d_tpu.fusion import tsdf as _tsdf
 from recon3d_tpu.mesh import ops as mops
 from recon3d_tpu.registration.odometry import compute_rgbd_odometry
 from recon3d_tpu.utils.logging import FPSCounter, make_logger
+from recon3d_tpu.utils.profiling import StageTimer
 from recon3d_tpu.utils.types import CameraIntrinsics, RGBDImage
 
 
@@ -38,7 +39,7 @@ class StreamingFusion:
                  config: ScannerConfig = ScannerConfig(),
                  resolution: int = 256, volume_origin=None,
                  queue_size: int = 10, tracking: str = "keyframe",
-                 keyframe_min_inliers: float = 0.85):
+                 keyframe_min_inliers: float = 0.85, profile: bool = False):
         self.camera = camera
         self.intrinsics = intrinsics
         self.config = config
@@ -69,6 +70,11 @@ class StreamingFusion:
         self.world_from_key = np.eye(4, dtype=np.float32)
         self._rel_init = jnp.eye(4, dtype=jnp.float32)  # cur_cam_from_key
         self.keyframe: Optional[RGBDImage] = None
+        # per-stage odometry/integrate timing; profile=True adds a device
+        # sync per stage for exact numbers (costs a round-trip per frame —
+        # without it the stages measure dispatch + host work only)
+        self.timer = StageTimer()
+        self._profile = profile
 
     def _capture_loop(self):
         import jax
@@ -104,9 +110,12 @@ class StreamingFusion:
             if self.prev is None:
                 self.keyframe = cur
             else:
-                res = compute_rgbd_odometry(self.keyframe, cur,
-                                            self.intrinsics,
-                                            init=self._rel_init)
+                with self.timer.stage("odometry"):
+                    res = compute_rgbd_odometry(self.keyframe, cur,
+                                                self.intrinsics,
+                                                init=self._rel_init)
+                    if self._profile:
+                        self.timer.sync(res.transformation)
                 if bool(res.success):
                     # res.transformation: cur_cam_from_key_cam
                     cur_from_key = np.asarray(res.transformation)
@@ -131,9 +140,12 @@ class StreamingFusion:
             extrinsic = jnp.asarray(np.linalg.inv(self.world_from_cam), jnp.float32)
             # donated integrate: the grid updates in place instead of
             # allocating a fresh ~R^3 volume every frame
-            self.volume = _tsdf.integrate_donated(
-                self.volume, cur.depth, self.intrinsics, extrinsic,
-                color=cur.color, depth_trunc=cfg.depth_trunc)
+            with self.timer.stage("integrate"):
+                self.volume = _tsdf.integrate_donated(
+                    self.volume, cur.depth, self.intrinsics, extrinsic,
+                    color=cur.color, depth_trunc=cfg.depth_trunc)
+                if self._profile:
+                    self.timer.sync(self.volume.weight)
             self.trajectory.append(self.world_from_cam.copy())
             self.prev = cur
             self.frames_integrated += 1

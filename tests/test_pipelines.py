@@ -206,3 +206,22 @@ class TestLiveViewer:
         assert v.handle_key("e")
         assert v.pipeline.wls_config.lam == 16000.0
         assert v.handle_key("\x1b") is False  # ESC quits
+
+
+class TestProfiling:
+    def test_stage_timer_summary(self):
+        import jax.numpy as jnp
+
+        from recon3d_tpu.utils.profiling import StageTimer
+
+        t = StageTimer()
+        with t.stage("a"):
+            x = jnp.arange(8) * 2
+            t.sync(x)
+        with t.stage("a"):
+            pass
+        with t.stage("b"):
+            pass
+        s = t.summary()
+        assert "a" in s and "b" in s
+        assert t.counts["a"] == 2 and t.totals["a"] > 0
