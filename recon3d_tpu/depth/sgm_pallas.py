@@ -598,6 +598,8 @@ def cost_and_fwd(
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
         out_specs=(hblock, hblock),
         out_shape=(vol_shape, vol_shape),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         scratch_shapes=[
             pltpu.VMEM((BH, dp), jnp.float32),
             pltpu.VMEM((3, bhh_dma, lw_dma), jnp.float32),
