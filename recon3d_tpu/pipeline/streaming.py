@@ -106,6 +106,14 @@ class StreamingFusion:
                 color, depth = self.queue.get(timeout=0.5)
             except queue.Empty:
                 continue
+            try:
+                self._fuse_one(color, depth, cfg)
+                fps.tick()
+            except Exception:  # keep the stream alive (check82-style)
+                self.odometry_failures += 1
+                self.logger.exception("fusion step failed; frame dropped")
+
+    def _fuse_one(self, color, depth, cfg):
             cur = RGBDImage(color=jnp.asarray(color), depth=jnp.asarray(depth))
             if self.prev is None:
                 self.keyframe = cur
@@ -149,7 +157,6 @@ class StreamingFusion:
             self.trajectory.append(self.world_from_cam.copy())
             self.prev = cur
             self.frames_integrated += 1
-            fps.tick()
 
     def start(self):
         self.camera.open()

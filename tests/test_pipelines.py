@@ -225,3 +225,59 @@ class TestProfiling:
         s = t.summary()
         assert "a" in s and "b" in s
         assert t.counts["a"] == 2 and t.totals["a"] > 0
+
+
+class TestStreamingThroughput:
+    def test_fusion_keeps_up_with_integrate_kernel(self, tmp_path):
+        """The producer/consumer pipeline should sustain a fuse rate close
+        to the raw odometry+integrate kernel rate — i.e. queueing, host
+        transfers and thread handoff must not dominate (SURVEY section 7
+        item 8). Lenient bound: pipeline >= 40% of back-to-back kernels."""
+        import time
+
+        import jax.numpy as jnp
+
+        from recon3d_tpu.fusion import tsdf as _tsdf
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+        from recon3d_tpu.registration.odometry import compute_rgbd_odometry
+        from recon3d_tpu.utils.types import RGBDImage
+
+        n = 6
+        cam = _cam(n + 1, step=0.005)
+        cfg = _small_cfg(tmp_path)
+
+        # reference rate: odometry + integrate back-to-back, no pipeline
+        cam.open()
+        frames = [cam.grab() for _ in range(n)]
+        vol = _tsdf.make_volume(resolution=96, voxel_size=cfg.fusion.voxel_size,
+                                sdf_trunc=cfg.fusion.sdf_trunc,
+                                origin=(-0.72, -0.72, 0.3))
+        prev = RGBDImage(color=jnp.asarray(frames[0][0]),
+                         depth=jnp.asarray(frames[0][1]))
+        # warm the compiles outside the timed region
+        _ = compute_rgbd_odometry(prev, prev, _intr())
+        vol = _tsdf.integrate(vol, prev.depth, _intr(), jnp.eye(4),
+                              color=prev.color)
+        t0 = time.perf_counter()
+        for c, d in frames[1:]:
+            cur = RGBDImage(color=jnp.asarray(c), depth=jnp.asarray(d))
+            res = compute_rgbd_odometry(prev, cur, _intr())
+            vol = _tsdf.integrate(vol, cur.depth, _intr(),
+                                  jnp.asarray(res.transformation),
+                                  color=cur.color)
+            prev = cur
+        float(jnp.sum(vol.weight))
+        kernel_rate = (n - 1) / (time.perf_counter() - t0)
+
+        sf = StreamingFusion(_cam(n, step=0.005), _intr(), cfg, resolution=96,
+                             volume_origin=(-0.72, -0.72, 0.3)).start()
+        t0 = time.perf_counter()
+        deadline = time.time() + 300
+        while any(t.is_alive() for t in sf._threads) and time.time() < deadline:
+            time.sleep(0.1)
+        elapsed = time.perf_counter() - t0
+        sf.stop()
+        assert sf.frames_integrated >= n - 1
+        pipe_rate = sf.frames_integrated / elapsed
+        assert pipe_rate > 0.4 * kernel_rate, (
+            f"pipeline {pipe_rate:.2f} fps vs kernels {kernel_rate:.2f} fps")
