@@ -58,6 +58,9 @@ def _add_common(p):
     p.add_argument("--replay_dir", default="/root/reference/test/output")
     p.add_argument("--intrinsics", default=None, help="intrinsics JSON path")
     p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--depth_filters", action="store_true",
+                   help="apply the decimation-free spatial/temporal/hole-fill "
+                        "chain (check90.py:99-103) on-device before fusion")
     add_dataclass_args(p, ScannerConfig)
 
 
@@ -164,8 +167,14 @@ def main(argv=None):
 
         import time
 
+        bank = None
+        if args.depth_filters:
+            from recon3d_tpu.depth.filters import DepthFilterBank
+
+            bank = DepthFilterBank(decimation=0, hole_fill="left")
         sf = StreamingFusion(cam, intr, cfg,
-                             resolution=cfg.fusion.grid_resolution).start()
+                             resolution=cfg.fusion.grid_resolution,
+                             depth_filters=bank).start()
         while any(t.is_alive() for t in sf._threads) and sf.frames_integrated < args.frames:
             time.sleep(0.25)
         sf.stop()

@@ -39,7 +39,8 @@ class StreamingFusion:
                  config: ScannerConfig = ScannerConfig(),
                  resolution: int = 256, volume_origin=None,
                  queue_size: int = 10, tracking: str = "keyframe",
-                 keyframe_min_inliers: float = 0.85, profile: bool = False):
+                 keyframe_min_inliers: float = 0.85, profile: bool = False,
+                 depth_filters=None):
         self.camera = camera
         self.intrinsics = intrinsics
         self.config = config
@@ -75,6 +76,10 @@ class StreamingFusion:
         # without it the stages measure dispatch + host work only)
         self.timer = StageTimer()
         self._profile = profile
+        # optional depth conditioning chain applied before odometry, the
+        # TPU-native stand-in for the SDK filters a live RealSense applies
+        # on grab (check90.py:99-103) — e.g. depth.filters.DepthFilterBank
+        self.depth_filters = depth_filters
 
     def _capture_loop(self):
         import jax
@@ -114,6 +119,9 @@ class StreamingFusion:
                 self.logger.exception("fusion step failed; frame dropped")
 
     def _fuse_one(self, color, depth, cfg):
+            if self.depth_filters is not None:
+                with self.timer.stage("depth_filter"):
+                    depth = self.depth_filters(jnp.asarray(depth))
             cur = RGBDImage(color=jnp.asarray(color), depth=jnp.asarray(depth))
             if self.prev is None:
                 self.keyframe = cur
