@@ -12,15 +12,22 @@ implementation in sgm.py (which is kept as the portable/oracle fallback):
   4. finalize      — WTA/subpixel/uniqueness/right-view/LR on whole bands.
 
 Why this shape:
-- The (H, W, D) volume at 1080p/D=128 is ~0.5 GB in uint16; HBM traffic, not
-  FLOPs, bounds SGM on TPU. Costs are stored once and each pass streams it
-  once, ~4.3 GB of traffic total (~5 ms at v5e bandwidth) instead of the
-  many full-volume f32 materializations XLA produces for the scan version.
-  Measured end-to-end: 963 ms (round-1 XLA scans) -> 38 ms.
+- The (H, W, D) volume at 1080p/D=128 is ~0.5 GB in uint16 / ~1 GB in f32.
+  The cost is stored once and each pass streams it once (~8 GB of HBM
+  traffic total, ~10 ms at v5e bandwidth, overlapped under the VPU work)
+  instead of the many full-volume f32 materializations XLA produces for
+  the scan version. Measured end-to-end: 963 ms (round-1 XLA scans) ->
+  36.4 ms. The remaining time is VPU ALU at ~1 vector-op/cycle — the
+  recurrences and masked-roll ladders are elementwise min/add chains the
+  MXU can't host, and Mosaic exposes no 16-bit packed VPU arithmetic that
+  would double lane throughput.
 - All arithmetic is integer-valued: Birchfield-Tomasi costs on the x-Sobel
-  prefilter step in halves, so everything is scaled x2 into exact uint16
-  integers (max path sum 4*(12800+P2) < 65536). f32 holds these exactly in
-  the kernels; stores round-trip losslessly through uint16.
+  prefilter step in halves, so everything is scaled x2 into exact integers
+  (max path sum 4*(12800+P2) < 65536 < 2^24). The cost volume is stored
+  uint16 (halving its streaming bytes); the inter-kernel path volumes
+  (v1/v3/s) stay f32 — Mosaic casts u16<->f32 via i32, and skipping those
+  round-trips on every kernel crossing buys more VPU time than the extra
+  HBM bytes cost. Either way every value is exact.
 - Per-scanline recurrences run as fori_loops inside the kernels with the
   carry in VMEM scratch that persists across sequential grid steps — the
   1920-step unrolled lax.scan HLO (209 s compiles) disappears.
@@ -118,7 +125,9 @@ def _mk_hscan_kernel(xt: int, p1: float, p2: float, reverse: bool, accumulate: b
             c0 = ((n_chunks - 1 - ci) if reverse else ci) * 16
             c0 = pl.multiple_of(c0, 16)
             chunk = _u16f(cost_ref[:, pl.ds(c0, 16), :])  # (BH, 16, D) f32
-            acc = None if acc_ref is None else _u16f(acc_ref[:, pl.ds(c0, 16), :])
+            # acc/out volumes are f32 (exact integers < 2^24): skipping the
+            # u16 round-trips saves ~4 vector ops/element/kernel-crossing
+            acc = None if acc_ref is None else acc_ref[:, pl.ds(c0, 16), :]
             outs = []
             order = range(15, -1, -1) if reverse else range(16)
             for x in order:
@@ -126,7 +135,7 @@ def _mk_hscan_kernel(xt: int, p1: float, p2: float, reverse: bool, accumulate: b
                 outs.append(carry if acc is None else carry + acc[:, x, :])
             if reverse:
                 outs = outs[::-1]
-            out_ref[:, pl.ds(c0, 16), :] = _fu16(jnp.stack(outs, axis=1))
+            out_ref[:, pl.ds(c0, 16), :] = jnp.stack(outs, axis=1)
             return carry
 
         carry_ref[:] = jax.lax.fori_loop(0, n_chunks, chunk_body,
@@ -167,20 +176,19 @@ def _mk_bwd_down_kernel(bh: int, xt: int, nx: int, p1: float, p2: float,
             for ci in range(n_chunks - 1, -1, -1):
                 c0 = ci * 16
                 chunk = _u16f(cost_ref[:, pl.ds(c0, 16), :])
-                acc = _u16f(v1_ref[:, pl.ds(c0, 16), :])
+                acc = v1_ref[:, pl.ds(c0, 16), :]
                 outs = []
                 for xx in range(15, -1, -1):
                     carry = _path_step(carry, chunk[:, xx, :], p1, p2)
                     outs.append(carry + acc[:, xx, :])
-                out_ref[:, pl.ds(c0, 16), :] = _fu16(
-                    jnp.stack(outs[::-1], axis=1))
+                out_ref[:, pl.ds(c0, 16), :] = jnp.stack(outs[::-1], axis=1)
             hcarry_ref[:] = carry
 
             vc = vcarry_ref[tile]
             for y in range(bh):
                 c = _u16f(cost_ref[y])
                 vc = _path_step(vc, c, p1, p2)
-                out_ref[y] = _fu16(_u16f(out_ref[y]) + vc)
+                out_ref[y] = out_ref[y] + vc
             vcarry_ref[tile] = vc
         else:
             # dynamic loops for interpret/testing mode (small traces; the
@@ -190,8 +198,8 @@ def _mk_bwd_down_kernel(bh: int, xt: int, nx: int, p1: float, p2: float,
                 c = xt - 1 - cc
                 cv = _u16f(cost_ref[:, pl.ds(c, 1), :])[:, 0, :]
                 carry = _path_step(carry, cv, p1, p2)
-                acc = _u16f(v1_ref[:, pl.ds(c, 1), :])[:, 0, :]
-                out_ref[:, pl.ds(c, 1), :] = _fu16(carry + acc)[:, None, :]
+                acc = v1_ref[:, pl.ds(c, 1), :][:, 0, :]
+                out_ref[:, pl.ds(c, 1), :] = (carry + acc)[:, None, :]
                 return carry
 
             hcarry_ref[:] = jax.lax.fori_loop(0, xt, col_body, hcarry_ref[:])
@@ -199,7 +207,7 @@ def _mk_bwd_down_kernel(bh: int, xt: int, nx: int, p1: float, p2: float,
             def row_body(y, vc):
                 c = _u16f(cost_ref[y])
                 vc = _path_step(vc, c, p1, p2)
-                out_ref[y] = _fu16(_u16f(out_ref[y]) + vc)
+                out_ref[y] = out_ref[y] + vc
                 return vc
 
             vcarry_ref[tile] = jax.lax.fori_loop(0, bh, row_body,
@@ -220,7 +228,7 @@ def _mk_vscan_kernel(bh: int, p1: float, p2: float, reverse: bool):
             y = (bh - 1 - i) if reverse else i
             c = _u16f(cost_ref[y])
             out = _path_step(carry, c, p1, p2)
-            out_ref[y] = _fu16(out + _u16f(acc_ref[y]))
+            out_ref[y] = out + acc_ref[y]
             return out
 
         carry_ref[:] = jax.lax.fori_loop(0, bh, body, carry_ref[:])
@@ -253,7 +261,7 @@ def _mk_finalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
         # ~6 band-sized f32 temporaries (~8 MB each at 1080p) are cheap and
         # the masked-roll ladders/reduces run over 8 rows at once instead of
         # a row loop
-        S = _u16f(s_ref[:])  # (FH, W, D)
+        S = s_ref[:]  # (FH, W, D) f32 aggregate
         lane = jax.lax.broadcasted_iota(jnp.int32, (fh, w_pad, d_pad), 2)
         lanef = lane.astype(jnp.float32)
         xcol = jax.lax.broadcasted_iota(jnp.int32, (fh, w_pad, 1), 1)
@@ -446,7 +454,7 @@ def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
                 cost = jnp.where(dead, 0.0, cost)
                 carry = _path_step(carry, cost, p1, p2)
                 cost_ref[:, pl.ds(c, 1), :] = _fu16(cost)[:, None, :]
-                out_ref[:, pl.ds(c, 1), :] = _fu16(carry)[:, None, :]
+                out_ref[:, pl.ds(c, 1), :] = carry[:, None, :]
                 return carry
 
             carry_ref[:] = jax.lax.fori_loop(0, xt, col_body, carry_ref[:])
@@ -488,8 +496,8 @@ def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
                 cols.append((cost, carry))
             cost_ref[:, c0:c0 + 16, :] = _fu16(
                 jnp.stack([c_ for c_, _ in cols], axis=1))
-            out_ref[:, c0:c0 + 16, :] = _fu16(
-                jnp.stack([p for _, p in cols], axis=1))
+            out_ref[:, c0:c0 + 16, :] = jnp.stack([p for _, p in cols],
+                                                  axis=1)
         carry_ref[:] = carry
 
     return kernel
@@ -587,6 +595,10 @@ def cost_and_fwd(
               pad_r(rpre), pad_r(lo_r), pad_r(hi_r))
 
     vol_shape = jax.ShapeDtypeStruct((hp, wp, dp), jnp.uint16)
+    # path volumes stay f32 between kernels: values are exact integers
+    # < 2^24 and skipping the u16<->f32 round-trips (Mosaic casts via i32)
+    # is worth more VPU time than the doubled HBM bytes cost
+    vol_shape_f = jax.ShapeDtypeStruct((hp, wp, dp), jnp.float32)
     hblock = pl.BlockSpec((BH, XT, dp), lambda b, x: (b, x, 0),
                           memory_space=pltpu.VMEM)
     cost, v1 = pl.pallas_call(
@@ -597,7 +609,7 @@ def cost_and_fwd(
         grid=(nb, nx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
         out_specs=(hblock, hblock),
-        out_shape=(vol_shape, vol_shape),
+        out_shape=(vol_shape, vol_shape_f),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         scratch_shapes=[
@@ -642,7 +654,9 @@ def aggregate_and_finalize(
     nb3 = HP // BH3
     p1f, p2f = float(p1) * 2.0, float(p2) * 2.0  # x2 cost scaling
 
-    vol_shape = jax.ShapeDtypeStruct((HP, WP, DP), jnp.uint16)
+    # path volumes (v1/v3/s) are f32 between kernels; only the BT cost
+    # stays uint16 (see cost_and_fwd)
+    vol_shape_f = jax.ShapeDtypeStruct((HP, WP, DP), jnp.float32)
     hblock = pl.BlockSpec((BH, XT, DP), lambda b, x: (b, x, 0),
                           memory_space=pltpu.VMEM)
     hblock_r = pl.BlockSpec((BH, XT, DP), lambda b, x: (b, nx - 1 - x, 0),
@@ -656,7 +670,7 @@ def aggregate_and_finalize(
         v1 = pl.pallas_call(
             _mk_hscan_kernel(XT, p1f, p2f, reverse=False, accumulate=False),
             grid=(nb, nx),
-            in_specs=[hblock], out_specs=hblock, out_shape=vol_shape,
+            in_specs=[hblock], out_specs=hblock, out_shape=vol_shape_f,
             scratch_shapes=[pltpu.VMEM((BH, DP), jnp.float32)],
             interpret=interpret,
         )(cost_u16)
@@ -665,7 +679,7 @@ def aggregate_and_finalize(
         _mk_bwd_down_kernel(BH, XT, nx, p1f, p2f,
                             static_chunks=not interpret),
         grid=(nb, nx),
-        in_specs=[hblock_r, hblock_r], out_specs=hblock_r, out_shape=vol_shape,
+        in_specs=[hblock_r, hblock_r], out_specs=hblock_r, out_shape=vol_shape_f,
         scratch_shapes=[pltpu.VMEM((BH, DP), jnp.float32),
                         pltpu.VMEM((nx, XT, DP), jnp.float32)],
         input_output_aliases={1: 0},
@@ -677,7 +691,7 @@ def aggregate_and_finalize(
     s = pl.pallas_call(
         _mk_vscan_kernel(BH3, p1f, p2f, reverse=True),
         grid=(nx, nb3),
-        in_specs=[vblock_r, vblock_r], out_specs=vblock_r, out_shape=vol_shape,
+        in_specs=[vblock_r, vblock_r], out_specs=vblock_r, out_shape=vol_shape_f,
         scratch_shapes=[pltpu.VMEM((XT, DP), jnp.float32)],
         input_output_aliases={1: 0},
         compiler_params=None if interpret else pltpu.CompilerParams(
