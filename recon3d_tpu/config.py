@@ -69,7 +69,10 @@ class WLSConfig:
 
     lam: float = 8000.0
     sigma_color: float = 1.5
-    iterations: int = 6  # FGS sweeps (the FGS paper uses T=3; 6 is safe margin)
+    # FGS sweeps; 3 matches cv2.ximgproc.createFastGlobalSmootherFilter's
+    # num_iter default (lambda attenuation 1/4), i.e. the reference's actual
+    # WLS operating point
+    iterations: int = 3
 
     def adjust(self, key: str) -> "WLSConfig":
         if key == "e":

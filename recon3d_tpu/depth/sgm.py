@@ -255,12 +255,24 @@ def speckle_filter_fast(disp: jax.Array, valid: jax.Array,
     bins = [jnp.floor((disp + ph) / max_range).astype(jnp.int32)
             for ph in phases]
     # one batched einsum for every (phase, bin) occupancy plane: the MXU
-    # does all 2*nbins box filters in ~2 ms where per-bin calls pay ~1.7 ms
+    # does all 2*nbins box filters at once where per-bin calls pay ~1.7 ms
     # of dispatch each
     occ = jnp.stack([occ_weight * (bid == b)
                      for bid in bins for b in range(nbins)])
-    boxed = jnp.einsum("ij,bjk,kl->bil", Bh, occ, Bw,
-                       precision=jax.lax.Precision.HIGHEST)
+    if side <= 256:
+        # exact in ONE bf16 MXU pass (vs ~6 passes for f32 HIGHEST): the
+        # 0/1 inputs are bf16-exact, the W-box intermediate is an integer
+        # <= side <= 256 (bf16-exact), and the MXU accumulates in f32 so
+        # the final counts <= side^2 are exact too
+        t = jnp.einsum("bjk,kl->bjl", occ.astype(jnp.bfloat16),
+                       Bw.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        boxed = jnp.einsum("ij,bjl->bil", Bh.astype(jnp.bfloat16),
+                           t.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    else:
+        boxed = jnp.einsum("ij,bjk,kl->bil", Bh, occ, Bw,
+                           precision=jax.lax.Precision.HIGHEST)
     score = jnp.zeros((H, W), jnp.float32)
     i = 0
     for bid in bins:
