@@ -84,7 +84,8 @@ def compute_disparity(
         )
     if with_wls:
         disp = _wls.wls_refine(disp, valid, left_gray,
-                               lam=wls.lam, sigma_color=wls.sigma_color)
+                               lam=wls.lam, sigma_color=wls.sigma_color,
+                               iterations=wls.iterations)
         valid = disp > 0
     return disp, valid
 

@@ -161,6 +161,18 @@ class TestWLS:
             jnp.zeros((16, 16)), jnp.zeros((16, 16)), jnp.zeros((16, 16))))
         assert np.isfinite(out).all()
 
+    def test_config_iterations_reach_the_filter(self, stereo_pair):
+        # regression: compute_disparity must forward WLSConfig.iterations
+        # (it used to silently run wls_refine's default regardless)
+        gl, gr, _, _ = stereo_pair
+        mcfg = StereoMatcherConfig(num_disparities=32, block_size=5,
+                                   speckle_window_size=0)
+        d1, _ = matcher.compute_disparity(gl, gr, mcfg,
+                                          WLSConfig(iterations=1), True)
+        d3, _ = matcher.compute_disparity(gl, gr, mcfg,
+                                          WLSConfig(iterations=3), True)
+        assert float(jnp.abs(d1 - d3).max()) > 1e-3
+
 
 class TestMatcherAPI:
     def test_bm_mode_and_depth(self, stereo_pair):
