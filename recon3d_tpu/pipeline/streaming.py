@@ -86,7 +86,15 @@ class StreamingFusion:
 
         fps = FPSCounter(self.logger, "capture")
         while not self.stop_event.is_set():
-            frame = self.camera.grab()
+            try:
+                frame = self.camera.grab()
+            except Exception:
+                # dying camera ends the stream instead of silently killing
+                # this thread (check7.py retry/teardown pattern); frames
+                # already queued still get fused
+                self.logger.exception("camera grab failed; stopping stream")
+                self.stop_event.set()
+                break
             if frame is None:
                 self.stop_event.set()
                 break
@@ -186,3 +194,31 @@ class StreamingFusion:
         mesh = _marching.extract_triangle_mesh(self.volume)
         mesh = mops.cleanup(mesh)
         return mops.compute_vertex_normals(mesh)
+
+
+def integrate_saved_frames(directory: str, intrinsics: CameraIntrinsics,
+                           config: ScannerConfig = ScannerConfig(),
+                           resolution: int = 256, volume_origin=None,
+                           max_frames: Optional[int] = None,
+                           tracking: str = "keyframe",
+                           depth_filters=None) -> StreamingFusion:
+    """Offline re-integration of a saved scan (check90.py:408-463
+    integrate_saved_frames): load every color/depth pair from `directory`
+    (native thread-pool decoder), run the same odometry+TSDF consumer the
+    live stream uses — synchronously, no threads — and return the fusion
+    object (volume, trajectory, extract_mesh()).
+    """
+    from recon3d_tpu.utils import io as _io
+
+    frames = _io.load_rgbd_frames_batch(
+        directory, depth_scale=config.stream.depth_scale,
+        max_frames=max_frames)
+    if not frames:
+        raise FileNotFoundError(f"no color/depth pairs in {directory}")
+    sf = StreamingFusion(None, intrinsics, config, resolution=resolution,
+                         volume_origin=volume_origin, tracking=tracking,
+                         depth_filters=depth_filters)
+    cfg = config.fusion
+    for color, depth in frames:
+        sf._fuse_one(jnp.asarray(color), jnp.asarray(depth), cfg)
+    return sf

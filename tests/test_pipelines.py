@@ -122,6 +122,54 @@ class TestStreamingFusion:
         verts, tris, _, _ = mesh.to_numpy()
         assert len(tris) > 500
 
+    def test_camera_crash_stops_stream_cleanly(self, tmp_path):
+        import time
+
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+
+        cam = _cam(8, step=0.01)
+        orig = cam.grab
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise RuntimeError("sensor died")
+            return orig()
+
+        cam.grab = flaky
+        cfg = _small_cfg(tmp_path)
+        sf = StreamingFusion(cam, _intr(), cfg, resolution=96,
+                             volume_origin=(-0.72, -0.72, 0.3)).start()
+        deadline = time.time() + 120
+        while any(t.is_alive() for t in sf._threads) and time.time() < deadline:
+            time.sleep(0.2)
+        # the crash must end the stream by itself (check7-style teardown):
+        # both threads exit without stop() being called
+        assert not any(t.is_alive() for t in sf._threads)
+        sf.stop()
+        assert sf.frames_integrated == 2  # frames before the crash survive
+
+    def test_integrate_saved_frames_replays_golden_scan(self):
+        import glob
+
+        from recon3d_tpu.pipeline.streaming import integrate_saved_frames
+
+        gold = "/root/reference/test/output"
+        if not glob.glob(f"{gold}/color_*.png"):
+            import pytest
+
+            pytest.skip("golden capture not available")
+        intr = CameraIntrinsics(fx=jnp.float32(616.63), fy=jnp.float32(616.31),
+                                cx=jnp.float32(312.58), cy=jnp.float32(242.22))
+        cfg = _small_cfg("/tmp")
+        sf = integrate_saved_frames(gold, intr, cfg, resolution=96,
+                                    volume_origin=(-1.0, -1.0, 0.2),
+                                    max_frames=3)
+        assert sf.frames_integrated == 3
+        assert len(sf.trajectory) == 3
+        assert all(np.isfinite(t).all() for t in sf.trajectory)
+
 
 class TestVisualizer:
     def test_render_cloud_and_mesh_png(self, tmp_path):
