@@ -51,7 +51,8 @@ def main():
     from recon3d_tpu.config import StereoMatcherConfig, WLSConfig
     from recon3d_tpu.depth import sgm_pallas, wls
     from recon3d_tpu.depth.matcher import compute_disparity
-    from recon3d_tpu.ops.warp import build_remap_plan, remap_two_pass
+    from recon3d_tpu.ops.warp import (build_remap_plan, remap_two_pass,
+                                      remap_two_pass_batch)
     from recon3d_tpu.pointcloud.backproject import backproject_disparity
 
     W, H, D = 1920, 1080, 128
@@ -69,16 +70,19 @@ def main():
     Q[0, 3], Q[1, 3] = -W / 2.0, -H / 2.0
     Q[2, 3], Q[3, 2] = focal, 1.0 / baseline
 
-    mcfg = StereoMatcherConfig(num_disparities=D, block_size=5)
+    # mode-matched to the reference's production matcher: depth4.py:157-170
+    # runs cv2.StereoSGBM MODE_SGBM_3WAY, whose direction set {L,R,down}
+    # is sgm3 here (one path-scan cheaper than 4-direction HH4)
+    mcfg = StereoMatcherConfig(num_disparities=D, block_size=5, mode="sgm3")
     wcfg = WLSConfig()
 
     @jax.jit
     def frame(left_raw, right_raw, pln, Q):
-        lg = remap_two_pass(left_raw, pln)
-        rg = remap_two_pass(right_raw, pln)
+        lr = remap_two_pass_batch(jnp.stack([left_raw, right_raw]), pln)
+        lg, rg = lr[0], lr[1]
         disp, valid = compute_disparity(lg, rg, mcfg, wcfg, True)
         col = jnp.repeat(lg[..., None], 3, axis=-1) / 255.0
-        pc = backproject_disparity(disp, Q, color=col)
+        pc = backproject_disparity(disp, Q, color=col, assume_standard_q=True)
         # scalar checksum forces the whole frame on-device
         return pc.points, pc.colors, pc.valid, disp, jnp.sum(disp)
 
@@ -108,7 +112,7 @@ def main():
     disp_p, valid_p = sgm_pallas.sgm_disparity_pallas(
         jnp.asarray(rect_ours_l, jnp.float32),
         jnp.asarray(rect_ours_r, jnp.float32),
-        num_disparities=D, block_size=5)
+        num_disparities=D, block_size=5, num_directions=3)
     disp_p, valid_p = np.asarray(disp_p), np.asarray(valid_p)
 
     def cv_disp(mode):
@@ -123,16 +127,16 @@ def main():
         both = valid_p & (d_cv > 0)
         return float(np.sqrt(((disp_p[both] - d_cv[both]) ** 2).mean())), both
 
-    # mode-matched oracle: HH4 is cv2's 4-path aggregation, the same
-    # direction set this implementation (and SGBM_3WAY-class speed tier)
-    # uses; the default 5-path mode is reported alongside
-    mode4 = getattr(cv2, "STEREO_SGBM_MODE_HH4", cv2.STEREO_SGBM_MODE_SGBM)
-    rmse_cv, both = rmse_vs(cv_disp(mode4))
+    # mode-matched oracle: the reference's matcher is MODE_SGBM_3WAY
+    # (depth4.py:157-170), direction set {L,R,down} — exactly sgm3; cv2's
+    # default 5-path mode is reported alongside
+    mode3 = cv2.STEREO_SGBM_MODE_SGBM_3WAY
+    rmse_cv, both = rmse_vs(cv_disp(mode3))
     rmse_cv_default, _ = rmse_vs(cv_disp(cv2.STEREO_SGBM_MODE_SGBM))
     sgbm = cv2.StereoSGBM_create(
         minDisparity=0, numDisparities=D, blockSize=5,
         P1=8 * 25, P2=32 * 25, disp12MaxDiff=1, uniquenessRatio=10,
-        speckleWindowSize=50, speckleRange=32, preFilterCap=63, mode=mode4)
+        speckleWindowSize=50, speckleRange=32, preFilterCap=63, mode=mode3)
 
     # end-to-end pipelines compared on warped content: ours (two-pass warp
     # + Pallas SGM) vs cv2's (cv2.remap + SGBM) on the same raw pair + maps
@@ -140,7 +144,7 @@ def main():
     wr = to8(np.asarray(remap_two_pass(jr, plan)))
     disp_w, valid_w = sgm_pallas.sgm_disparity_pallas(
         jnp.asarray(wl, jnp.float32), jnp.asarray(wr, jnp.float32),
-        num_disparities=D, block_size=5)
+        num_disparities=D, block_size=5, num_directions=3)
     disp_w, valid_w = np.asarray(disp_w), np.asarray(valid_w)
     cvl = cv2.remap(raw_l, mx, my, cv2.INTER_LINEAR)
     cvr = cv2.remap(raw_r, mx, my, cv2.INTER_LINEAR)

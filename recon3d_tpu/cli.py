@@ -16,6 +16,7 @@ inspection utilities (readPar.py / inspect_calibration_file.py).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -65,6 +66,16 @@ def _add_common(p):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even when the interpreter's sitecustomize already
+    # imported jax and registered the default (TPU) backend: the env var
+    # alone is too late at that point, the config must be updated before
+    # any backend initializes
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        import jax
+
+        jax.config.update("jax_platforms", platforms)
+
     parser = argparse.ArgumentParser(prog="recon3d_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -122,7 +133,6 @@ def main(argv=None):
                                baseline=abs(pipe.params.baseline) or 0.06,
                                n_frames=args.frames)
         cam.open()
-        import os
 
         os.makedirs(args.out, exist_ok=True)
         n = 0
@@ -181,7 +191,6 @@ def main(argv=None):
         mesh = sf.extract_mesh()
         from recon3d_tpu.utils import io as _io
 
-        import os
 
         os.makedirs(cfg.output_dir, exist_ok=True)
         out = os.path.join(cfg.output_dir, "fused_mesh.ply")

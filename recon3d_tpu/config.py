@@ -32,7 +32,10 @@ class StereoMatcherConfig:
     speckle_window_size: int = 50
     speckle_range: int = 32
     pre_filter_cap: int = 63
-    mode: str = "sgm4"  # 'sgm4' (4-path ~ SGBM_3WAY class), 'sgm8', 'bm'
+    # 'sgm3' = cv2 MODE_SGBM_3WAY direction set {L,R,down} (the reference's
+    # production mode and one path-scan faster), 'sgm4' ~ MODE_HH4, 'sgm8'
+    # = 8 directions, 'bm' = block matching
+    mode: str = "sgm4"
     subpixel: bool = True
     lr_check: bool = True
     # 'auto': fused Pallas kernels on TPU (4-path modes), XLA scan elsewhere.

@@ -42,14 +42,14 @@ def compute_disparity(
         # StereoBM: pure block SAD, no path smoothness (depth.py:176-179)
         num_directions, p1, p2 = 4, 0.0, 0.0
     else:
-        num_directions = 8 if mode == "sgm8" else 4
+        num_directions = {"sgm8": 8, "sgm3": 3}.get(mode, 4)
         p1, p2 = float(matcher.p1()), float(matcher.p2())
 
     backend = matcher.backend
     if backend == "auto":
         backend = ("pallas" if jax.default_backend() == "tpu"
-                   and num_directions == 4 else "xla")
-    if backend == "pallas" and num_directions == 4:
+                   and num_directions in (3, 4) else "xla")
+    if backend == "pallas" and num_directions in (3, 4):
         from recon3d_tpu.depth import sgm_pallas as _sgmp
 
         speckle_method = matcher.speckle_method
@@ -60,6 +60,7 @@ def compute_disparity(
             num_disparities=matcher.num_disparities,
             block_size=matcher.block_size,
             p1=p1, p2=p2,
+            num_directions=num_directions,
             uniqueness_ratio=matcher.uniqueness_ratio,
             disp12_max_diff=matcher.disp12_max_diff if matcher.lr_check else -1,
             speckle_window_size=matcher.speckle_window_size,
@@ -83,9 +84,16 @@ def compute_disparity(
             do_subpixel=matcher.subpixel,
         )
     if with_wls:
-        disp = _wls.wls_refine(disp, valid, left_gray,
-                               lam=wls.lam, sigma_color=wls.sigma_color,
-                               iterations=wls.iterations)
+        if backend == "pallas":
+            from recon3d_tpu.depth import wls_pallas as _wlsp
+
+            disp = _wlsp.wls_refine_pallas(
+                disp, valid, left_gray, lam=wls.lam,
+                sigma_color=wls.sigma_color, iterations=wls.iterations)
+        else:
+            disp = _wls.wls_refine(disp, valid, left_gray,
+                                   lam=wls.lam, sigma_color=wls.sigma_color,
+                                   iterations=wls.iterations)
         valid = disp > 0
     return disp, valid
 

@@ -64,7 +64,12 @@ def _scan_dir(cost: jax.Array, axis: int, reverse: bool, P1, P2, col_shift: int 
 
 @partial(jax.jit, static_argnames=("num_directions",))
 def aggregate(cost: jax.Array, p1: float, p2: float, num_directions: int = 4) -> jax.Array:
-    """Sum of SGM path costs over 4 or 8 directions. cost: (H, W, D)."""
+    """Sum of SGM path costs over 3, 4 or 8 directions. cost: (H, W, D).
+
+    3 = {L->R, R->L, top->bottom}, the direction set of cv2's
+    STEREO_SGBM_MODE_SGBM_3WAY (the reference's production mode,
+    depth4.py:157-170); 4 adds bottom->top (MODE_HH4); 8 adds diagonals.
+    """
     P1 = jnp.float32(p1)
     P2 = jnp.float32(p2)
     # clip the sentinel so border-invalid costs don't poison sums
@@ -72,6 +77,8 @@ def aggregate(cost: jax.Array, p1: float, p2: float, num_directions: int = 4) ->
     s = _scan_dir(c, 1, False, P1, P2)          # left -> right
     s = s + _scan_dir(c, 1, True, P1, P2)       # right -> left
     s = s + _scan_dir(c, 0, False, P1, P2)      # top -> bottom
+    if num_directions == 3:
+        return s
     s = s + _scan_dir(c, 0, True, P1, P2)       # bottom -> top
     if num_directions == 8:
         s = s + _scan_dir(c, 0, False, P1, P2, col_shift=1)   # down-right

@@ -1,33 +1,39 @@
 """Pallas TPU semi-global matching: the production depth hot path.
 
-Re-implements cv2.StereoSGBM.compute (reference depth4.py:254-255) as four
+Re-implements cv2.StereoSGBM.compute (reference depth4.py:254-255) as THREE
 fused Pallas kernels over a uint16 cost volume, replacing the lax.scan
 implementation in sgm.py (which is kept as the portable/oracle fallback):
 
-  1. cost_and_fwd — Birchfield-Tomasi cost + box window computed from
-     halo-DMA'd image slabs, fused with the forward-horizontal path scan;
-  2. bwd+down      — backward-horizontal and downward-vertical paths in one
-     pass (band-outer grid keeps both carries live);
-  3. up            — upward-vertical path;
-  4. finalize      — WTA/subpixel/uniqueness/right-view/LR on whole bands.
+  1. cost+fwd(+down) — Birchfield-Tomasi cost + box window computed from
+     halo-DMA'd image slabs, fused with the forward-horizontal path scan
+     and (in 4-direction mode) the downward-vertical path (both sweep
+     top->bottom; the vertical carry lives in a per-column-tile scratch
+     that persists across bands);
+  2. bwd             — backward-horizontal path, accumulating onto v2;
+  3. vert+finalize   — the remaining vertical path on full-width 8-row
+     bands (up for 4-direction/HH4 mode, down for 3-direction/SGBM_3WAY
+     mode — the reference's production mode, one path-scan cheaper), with
+     WTA/subpixel/uniqueness/right-view/LR fused in, so the final
+     aggregate volume S never touches HBM.
 
 Why this shape:
 - The (H, W, D) volume at 1080p/D=128 is ~0.5 GB in uint16 / ~1 GB in f32.
   The cost is stored once and each pass streams it once (~8 GB of HBM
   traffic total, ~10 ms at v5e bandwidth, overlapped under the VPU work)
   instead of the many full-volume f32 materializations XLA produces for
-  the scan version. Measured end-to-end: 963 ms (round-1 XLA scans) ->
-  36.4 ms. The remaining time is VPU ALU at ~1 vector-op/cycle — the
-  recurrences and masked-roll ladders are elementwise min/add chains the
-  MXU can't host, and Mosaic exposes no 16-bit packed VPU arithmetic that
-  would double lane throughput.
+  the scan version. Measured end-to-end (full SGM incl. speckle at
+  1080p/D=128): 963 ms (round-1 XLA scans) -> ~30 ms. The remaining time
+  is VPU ALU at ~1 effective vector-op/cycle — the recurrences and
+  masked-roll ladders are elementwise min/add chains the MXU can't host,
+  and Mosaic exposes no 16-bit packed VPU arithmetic that would double
+  lane throughput.
 - All arithmetic is integer-valued: Birchfield-Tomasi costs on the x-Sobel
   prefilter step in halves, so everything is scaled x2 into exact integers
   (max path sum 4*(12800+P2) < 65536 < 2^24). The cost volume is stored
   uint16 (halving its streaming bytes); the inter-kernel path volumes
-  (v1/v3/s) stay f32 — Mosaic casts u16<->f32 via i32, and skipping those
-  round-trips on every kernel crossing buys more VPU time than the extra
-  HBM bytes cost. Either way every value is exact.
+  (v1/v3) stay f32 — Mosaic casts u16<->f32 via i32, and a u16 round-trip
+  measured slower (casts cost more VPU time than the HBM bytes saved).
+  Either way every value is exact.
 - Per-scanline recurrences run as fori_loops inside the kernels with the
   carry in VMEM scratch that persists across sequential grid steps — the
   1920-step unrolled lax.scan HLO (209 s compiles) disappears.
@@ -36,8 +42,9 @@ Why this shape:
   WITHOUT gathers: per-pixel shifts are composed from log2(D) masked rolls
   (TPU has no vector gather; rolls are sublane moves).
 
-Directions: 4 (left/right/up/down), the SGBM_3WAY-class fast mode the
-reference runs (depth4.py:157-170). 8-direction mode stays on the XLA path.
+Directions: 3 (left/right/down — exactly cv2 MODE_SGBM_3WAY, the mode the
+reference runs, depth4.py:157-170) or 4 (adds up, ~MODE_HH4).
+8-direction mode stays on the XLA path.
 """
 from __future__ import annotations
 
@@ -144,78 +151,6 @@ def _mk_hscan_kernel(xt: int, p1: float, p2: float, reverse: bool, accumulate: b
     return kernel
 
 
-def _mk_bwd_down_kernel(bh: int, xt: int, nx: int, p1: float, p2: float,
-                        static_chunks: bool = True):
-    """Fused backward-horizontal + downward-vertical scan.
-
-    Grid (bands top->bottom, xtiles right->left): with the band as the outer
-    grid axis, the horizontal carry resets per band while each column
-    group's vertical carry (indexed by tile in a (nx, XT, D) scratch)
-    persists across bands — both directions ride one pass over the cost
-    volume, saving the separate down-kernel's full-volume read+write.
-    Writes V3 = V1 + L_bwd + L_down.
-    """
-    n_chunks = xt // 16
-    assert n_chunks * 16 == xt
-
-    def kernel(cost_ref, v1_ref, out_ref, hcarry_ref, vcarry_ref):
-        b = pl.program_id(0)
-        x = pl.program_id(1)  # 0 = rightmost tile (index_map reverses)
-        tile = nx - 1 - x
-
-        @pl.when(x == 0)
-        def _():
-            hcarry_ref[:] = jnp.zeros_like(hcarry_ref)
-
-        @pl.when(b == 0)
-        def _():
-            vcarry_ref[tile] = jnp.zeros_like(vcarry_ref[tile])
-
-        if static_chunks:
-            carry = hcarry_ref[:]
-            for ci in range(n_chunks - 1, -1, -1):
-                c0 = ci * 16
-                chunk = _u16f(cost_ref[:, pl.ds(c0, 16), :])
-                acc = v1_ref[:, pl.ds(c0, 16), :]
-                outs = []
-                for xx in range(15, -1, -1):
-                    carry = _path_step(carry, chunk[:, xx, :], p1, p2)
-                    outs.append(carry + acc[:, xx, :])
-                out_ref[:, pl.ds(c0, 16), :] = jnp.stack(outs[::-1], axis=1)
-            hcarry_ref[:] = carry
-
-            vc = vcarry_ref[tile]
-            for y in range(bh):
-                c = _u16f(cost_ref[y])
-                vc = _path_step(vc, c, p1, p2)
-                out_ref[y] = out_ref[y] + vc
-            vcarry_ref[tile] = vc
-        else:
-            # dynamic loops for interpret/testing mode (small traces; the
-            # per-column dynamic-lane access Mosaic can't lower is fine in
-            # the interpreter)
-            def col_body(cc, carry):
-                c = xt - 1 - cc
-                cv = _u16f(cost_ref[:, pl.ds(c, 1), :])[:, 0, :]
-                carry = _path_step(carry, cv, p1, p2)
-                acc = v1_ref[:, pl.ds(c, 1), :][:, 0, :]
-                out_ref[:, pl.ds(c, 1), :] = (carry + acc)[:, None, :]
-                return carry
-
-            hcarry_ref[:] = jax.lax.fori_loop(0, xt, col_body, hcarry_ref[:])
-
-            def row_body(y, vc):
-                c = _u16f(cost_ref[y])
-                vc = _path_step(vc, c, p1, p2)
-                out_ref[y] = out_ref[y] + vc
-                return vc
-
-            vcarry_ref[tile] = jax.lax.fori_loop(0, bh, row_body,
-                                                 vcarry_ref[tile])
-
-    return kernel
-
-
 def _mk_vscan_kernel(bh: int, p1: float, p2: float, reverse: bool):
     """Vertical scan kernel: grid (xtiles, bands); carry (XT, D) scratch."""
 
@@ -236,14 +171,18 @@ def _mk_vscan_kernel(bh: int, p1: float, p2: float, reverse: bool):
     return kernel
 
 
-def _mk_finalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
-                        w_real: int, uniqueness_ratio: int,
-                        disp12_max_diff: int, do_subpixel: bool):
-    """Per-row WTA + subpixel + uniqueness + right-WTA shear + LR check.
+def _finalize_body(S, fh: int, d_real: int, d_pad: int, w_pad: int,
+                   w_real: int, uniqueness_ratio: int,
+                   disp12_max_diff: int, do_subpixel: bool):
+    """WTA + subpixel + uniqueness + right-WTA shear + LR check on one
+    (fh, w_pad, d_pad) aggregate band S. Returns (disp f32, valid i32),
+    both (fh, w_pad).
 
-    Gather-free: the volume shear S_R(x, d) = S(x + d, d) and the per-pixel
-    lookup d_R(x - d_L(x)) are composed from log2(D) masked rolls along the
-    sublane (x) axis.
+    Gather-free: the volume shear S_R(x, d) = S(x + d, d) is composed from
+    log2(D) masked rolls along the sublane (x) axis; the per-pixel lookup
+    d_R(x - d_L(x)) is a D-step plane sweep over the 2-D dR plane (D rolls
+    of a W-sized plane beat log2(D) rolls of the W*D volume ~7x in VPU
+    work).
     """
     shift_bits = []
     b = 1
@@ -256,86 +195,125 @@ def _mk_finalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
     PK = float(1 << max(d_pad - 1, 1).bit_length())
     BIGP = 2.0 ** 24
 
-    def kernel(s_ref, disp_ref, valid_ref):
-        # whole-band (FH, W, D) dataflow: v5e has 128 MB of VMEM, so the
-        # ~6 band-sized f32 temporaries (~8 MB each at 1080p) are cheap and
-        # the masked-roll ladders/reduces run over 8 rows at once instead of
-        # a row loop
-        S = s_ref[:]  # (FH, W, D) f32 aggregate
-        lane = jax.lax.broadcasted_iota(jnp.int32, (fh, w_pad, d_pad), 2)
-        lanef = lane.astype(jnp.float32)
-        xcol = jax.lax.broadcasted_iota(jnp.int32, (fh, w_pad, 1), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (fh, w_pad, d_pad), 2)
+    lanef = lane.astype(jnp.float32)
+    xcol = jax.lax.broadcasted_iota(jnp.int32, (fh, w_pad, 1), 1)
 
-        P = S * PK + lanef
-        mp = jnp.min(P, axis=-1, keepdims=True)
-        d0f = mp - jnp.floor(mp / PK) * PK
-        best = (mp - d0f) * (1.0 / PK)
-        d0 = d0f.astype(jnp.int32)  # (FH, W, 1)
+    P = S * PK + lanef
+    mp = jnp.min(P, axis=-1, keepdims=True)
+    d0f = mp - jnp.floor(mp / PK) * PK
+    best = (mp - d0f) * (1.0 / PK)
+    d0 = d0f.astype(jnp.int32)  # (FH, W, 1)
 
-        if do_subpixel:
-            d0c = jnp.clip(d0, 1, d_real - 2)
-            onehot = lane == d0c
-            Sm = jnp.concatenate([S[..., :1], S[..., :-1]], axis=-1)
-            Sp = jnp.concatenate([S[..., 1:], S[..., -1:]], axis=-1)
-            # c0 equals `best` except at clipped borders, where the parabola
-            # is discarded anyway (interior mask below)
-            c0 = best
-            cm = jnp.sum(jnp.where(onehot, Sm, 0.0), axis=-1, keepdims=True)
-            cp = jnp.sum(jnp.where(onehot, Sp, 0.0), axis=-1, keepdims=True)
-            denom = jnp.maximum(cm + cp - 2.0 * c0, 1e-6)
-            delta = jnp.clip((cm - cp) / (2.0 * denom), -0.5, 0.5)
-            refined = d0c.astype(jnp.float32) + delta
-            interior = (d0 >= 1) & (d0 <= d_real - 2)
-            disp = jnp.where(interior, refined, d0.astype(jnp.float32))
-        else:
-            disp = d0.astype(jnp.float32)
+    if do_subpixel:
+        d0c = jnp.clip(d0, 1, d_real - 2)
+        onehot = lane == d0c
+        Sm = jnp.concatenate([S[..., :1], S[..., :-1]], axis=-1)
+        Sp = jnp.concatenate([S[..., 1:], S[..., -1:]], axis=-1)
+        # c0 equals `best` except at clipped borders, where the parabola
+        # is discarded anyway (interior mask below)
+        c0 = best
+        cm = jnp.sum(jnp.where(onehot, Sm, 0.0), axis=-1, keepdims=True)
+        cp = jnp.sum(jnp.where(onehot, Sp, 0.0), axis=-1, keepdims=True)
+        denom = jnp.maximum(cm + cp - 2.0 * c0, 1e-6)
+        delta = jnp.clip((cm - cp) / (2.0 * denom), -0.5, 0.5)
+        refined = d0c.astype(jnp.float32) + delta
+        interior = (d0 >= 1) & (d0 <= d_real - 2)
+        disp = jnp.where(interior, refined, d0.astype(jnp.float32))
+    else:
+        disp = d0.astype(jnp.float32)
 
-        if uniqueness_ratio > 0:
-            adjacent = jnp.abs(lane - d0) <= 1
-            ms = jnp.min(jnp.where(adjacent, BIGP, P), axis=-1, keepdims=True)
-            second = jnp.floor(ms * (1.0 / PK))
-            uniq = second * 100.0 > best * (100.0 + uniqueness_ratio)
-        else:
-            uniq = jnp.ones((fh, w_pad, 1), bool)
+    if uniqueness_ratio > 0:
+        adjacent = jnp.abs(lane - d0) <= 1
+        ms = jnp.min(jnp.where(adjacent, BIGP, P), axis=-1, keepdims=True)
+        second = jnp.floor(ms * (1.0 / PK))
+        uniq = second * 100.0 > best * (100.0 + uniqueness_ratio)
+    else:
+        uniq = jnp.ones((fh, w_pad, 1), bool)
 
-        valid = uniq & (xcol >= d0)
+    valid = uniq[..., 0] & (xcol[..., 0] >= d0[..., 0])
 
-        if disp12_max_diff >= 0:
-            # right-view WTA from the shared volume: T(x, d) = S(x+d, d);
-            # the shift amount is the lane index (constant along x), so the
-            # masked-roll ladder composes exactly
-            T = P
-            for bshift in shift_bits:
-                # np.roll(T, -b) with the non-negative shift pltpu needs
-                T = jnp.where((lane & bshift) > 0,
-                              pltpu.roll(T, w_pad - bshift, axis=1), T)
-            T = jnp.where(xcol + lane >= w_real, BIGP, T)
-            mr = jnp.min(T, axis=-1, keepdims=True)
-            dR = mr - jnp.floor(mr / PK) * PK  # (FH, W, 1) f32 lane index
-            # G(x) = dR(x - d0(x)), gather-free: build the lane-indexed
-            # plane DR2(x, d) = dR(x - d) with per-lane uniform rolls, then
-            # one-hot-pick lane d0(x). A direct ladder masked on d0's bits
-            # would be wrong: intermediate values at other columns get
-            # routed by their own d0, not ours.
-            DR2 = jnp.broadcast_to(dR, (fh, w_pad, d_pad))
-            for bshift in shift_bits:
-                DR2 = jnp.where((lane & bshift) > 0,
-                                pltpu.roll(DR2, bshift, axis=1), DR2)
-            G = jnp.sum(jnp.where(lane == d0, DR2, 0.0), axis=-1,
-                        keepdims=True)
-            valid = valid & (jnp.abs(d0f - G) <= disp12_max_diff)
+    if disp12_max_diff >= 0:
+        # right-view WTA from the shared volume: T(x, d) = S(x+d, d);
+        # the shift amount is the lane index (constant along x), so the
+        # masked-roll ladder composes exactly
+        T = P
+        for bshift in shift_bits:
+            # np.roll(T, -b) with the non-negative shift pltpu needs
+            T = jnp.where((lane & bshift) > 0,
+                          pltpu.roll(T, w_pad - bshift, axis=1), T)
+        T = jnp.where(xcol + lane >= w_real, BIGP, T)
+        mr = jnp.min(T, axis=-1, keepdims=True)
+        dR = mr - jnp.floor(mr / PK) * PK  # (FH, W, 1) f32 lane index
+        # G(x) = dR(x - d0(x)), gather-free: a d_real-step plane sweep —
+        # roll the 2-D dR plane right by every candidate shift s and keep
+        # it where d0 == s. A masked-roll ladder on d0's bits would be
+        # wrong (intermediate values at other columns get routed by their
+        # own d0); the round-1 ladder on the broadcast (W, D) volume was
+        # exact but did log2(D) volume-sized ops where this sweep does D
+        # plane-sized ones. d0 < d_real always: in-range lanes beat
+        # INVALID_COST lanes, and all-invalid columns tie-break to lane 0.
+        # G(x) = dR(x - d0(x)), gather-free: build the lane-indexed plane
+        # DR2(x, d) = dR(x - d) with per-lane uniform rolls, then
+        # one-hot-pick lane d0(x). A direct ladder masked on d0's bits
+        # would be wrong (intermediate values at other columns get routed
+        # by their own d0); a fori_loop plane sweep with dynamic-shift
+        # rotates is exact but measured 25x slower (dynamic lane rotates
+        # serialize), so the volume ladder stays.
+        DR2 = jnp.broadcast_to(dR, (fh, w_pad, d_pad))
+        for bshift in shift_bits:
+            DR2 = jnp.where((lane & bshift) > 0,
+                            pltpu.roll(DR2, bshift, axis=1), DR2)
+        G = jnp.sum(jnp.where(lane == d0, DR2, 0.0), axis=-1)
+        valid = valid & (jnp.abs(d0f[..., 0] - G) <= disp12_max_diff)
 
-        disp_ref[:] = disp[..., 0]
-        valid_ref[:] = valid[..., 0].astype(jnp.int32)
+    return disp[..., 0], valid.astype(jnp.int32)
+
+
+def _mk_vfinalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
+                         w_real: int, uniqueness_ratio: int,
+                         disp12_max_diff: int, do_subpixel: bool,
+                         p1: float, p2: float, reverse: bool):
+    """Fused vertical scan + finalize on full-width FH-row bands.
+
+    Grid (bands,) swept bottom->top (reverse=True: the upward path of
+    4-direction mode) or top->bottom (reverse=False: the downward path of
+    3-direction SGBM_3WAY-parity mode), with the vertical carry (W, D) in
+    scratch (persists across sequential grid steps): each band computes
+    its FH rows of S = v3 + L_vert in VMEM and finalizes them immediately,
+    so the aggregate volume S never exists in HBM (a separate vertical
+    kernel wrote ~1 GB of it at 1080p/D=128 and finalize re-read it).
+    """
+
+    def kernel(cost_ref, v3_ref, disp_ref, valid_ref, carry_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        carry = carry_ref[:]
+        rows = [None] * fh
+        order = range(fh - 1, -1, -1) if reverse else range(fh)
+        for i in order:
+            carry = _path_step(carry, _u16f(cost_ref[i]), p1, p2)
+            rows[i] = carry + v3_ref[i]
+        carry_ref[:] = carry
+        S = jnp.stack(rows, axis=0)  # (FH, W, D) f32 aggregate
+
+        disp, valid = _finalize_body(S, fh, d_real, d_pad, w_pad, w_real,
+                                     uniqueness_ratio, disp12_max_diff,
+                                     do_subpixel)
+        disp_ref[:] = disp
+        valid_ref[:] = valid
 
     return kernel
 
 
-def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
+def _mk_cost_fwd_kernel(bh: int, xt: int, nx: int, d_pad: int, d_real: int,
                         h_real: int, w_real: int, w_pad: int, r: int,
                         block_size: int, min_disparity: int,
-                        p1: float, p2: float, static_chunks: bool = True):
-    """Fused cost + forward-horizontal-scan kernel.
+                        p1: float, p2: float, with_down: bool = True,
+                        static_chunks: bool = True):
+    """Fused cost + forward-horizontal + downward-vertical scan kernel.
 
     Grid (bands, xtiles), xtiles sequential left->right. Per grid step the
     kernel DMAs small halo'd image slabs (prefiltered values + BT bounds for
@@ -344,11 +322,14 @@ def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
     with its blockSize box sum column-by-column (vertical taps from the row
     halo, horizontal taps from a per-chunk column window), applies the
     forward SGM recurrence, and stores 16-column uint16 chunks of BOTH the
-    cost volume and L_fwd.
+    cost volume and v2 = L_fwd (+ L_down, added by a second in-VMEM sweep
+    over the freshly written band: the downward pass shares this kernel's
+    top->bottom band order, with its per-column-tile carry in a
+    (nx, XT, D) scratch that persists across bands).
 
-    Replaces the XLA cost_volume_u16 + the standalone forward scan: the
-    (H, W, D) f32 intermediates XLA materialized (45 ms at 1080p) never
-    exist; HBM sees only the two uint16 outputs.
+    Replaces the XLA cost_volume_u16 + the standalone forward scan + a
+    standalone down scan: the (H, W, D) f32 intermediates XLA materialized
+    (45 ms at 1080p) never exist; HBM sees only the two outputs.
     """
     n_chunks = xt // 16
     assert n_chunks * 16 == xt
@@ -361,13 +342,41 @@ def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
     rw_dma = _ceil_to(xt + 2 * r + d_pad - 1 + min_disparity, 128)
 
     def kernel(lv_ref, llo_ref, lhi_ref, rv_ref, rlo_ref, rhi_ref,
-               cost_ref, out_ref, carry_ref, lslab, rslab, sems):
+               cost_ref, out_ref, carry_ref, vcarry_ref,
+               lslab, rslab, sems):
         b = pl.program_id(0)
         x = pl.program_id(1)
 
         @pl.when(x == 0)
         def _():
             carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        if with_down:
+            @pl.when(b == 0)
+            def _():
+                vcarry_ref[x] = jnp.zeros_like(vcarry_ref[x])
+
+        def down_sweep():
+            """Add L_down onto the band's L_fwd (reading back the cost
+            just stored). Skipped in 3-direction (SGBM_3WAY-parity) mode,
+            where the downward path instead fuses into the finalize
+            kernel."""
+            if not with_down:
+                return
+            if static_chunks:
+                vc = vcarry_ref[x]
+                for y in range(bh):
+                    vc = _path_step(vc, _u16f(cost_ref[y]), p1, p2)
+                    out_ref[y] = out_ref[y] + vc
+                vcarry_ref[x] = vc
+            else:
+                def row_body(y, vc):
+                    vc = _path_step(vc, _u16f(cost_ref[y]), p1, p2)
+                    out_ref[y] = out_ref[y] + vc
+                    return vc
+
+                vcarry_ref[x] = jax.lax.fori_loop(0, bh, row_body,
+                                                  vcarry_ref[x])
 
         # ---- DMA halo'd slabs: L planes (bhh, xt+2r), R planes from the
         # reversed+padded right view (bhh, xt+2r+d_pad-1). Sources are
@@ -418,9 +427,11 @@ def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
             rv = rslab[0, :, pl.ds(rstart, d_pad)]  # (bhh, d_pad)
             rlo = rslab[1, :, pl.ds(rstart, d_pad)]
             rhi = rslab[2, :, pl.ds(rstart, d_pad)]
+            # planes are pre-scaled x2 by the caller (BT is piecewise
+            # linear with +-1 coefficients, so the scale folds through)
             c_ltr = jnp.maximum(0.0, jnp.maximum(lv - rhi, rlo - lv))
             c_rtl = jnp.maximum(0.0, jnp.maximum(rv - lhi, llo - rv))
-            raw = 2.0 * jnp.minimum(c_ltr, c_rtl)  # (bhh, d_pad), x2 units
+            raw = jnp.minimum(c_ltr, c_rtl)  # (bhh, d_pad), x2 units
             out = raw[0:bh]
             for k in range(1, block_size):
                 out = out + raw[k:k + bh]
@@ -458,6 +469,7 @@ def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
                 return carry
 
             carry_ref[:] = jax.lax.fori_loop(0, xt, col_body, carry_ref[:])
+            down_sweep()
             return
 
         # dead rows (below the real image) are band-constant: hoist
@@ -475,22 +487,32 @@ def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
             window = window + [raw_colsum(k) for k in
                                range(lo, c0 + 16 + 2 * r)]
             for k in range(16):
-                box = window[k]
-                for t in range(1, block_size):
-                    box = box + window[k + t]
+                if ci == 0 and k == 0:
+                    box = window[0]
+                    for t in range(1, block_size):
+                        box = box + window[t]
+                    prev = [window[t] for t in range(block_size)]
+                else:
+                    # rolling box: 2 ops instead of block_size-1 adds
+                    # (f32 integer adds/subs, exact)
+                    box = box + window[k + 2 * r] - prev.pop(0)
+                    prev.append(window[k + 2 * r])
                 c = c0 + k
+                box_out = box
                 if e0 - r < c <= e0:
                     # window crosses the last real column: replicate its
-                    # raw-cost column, like the XLA box's edge padding
+                    # raw-cost column, like the XLA box's edge padding.
+                    # box_out (not the rolling accumulator `box`) takes the
+                    # replicated value so the running sum stays clean
                     je = e0 + r - c0
                     box_cl = window[min(k, je)]
                     for t in range(1, block_size):
                         box_cl = box_cl + window[min(k + t, je)]
-                    box = jnp.where(is_last_tile, box_cl, box)
+                    box_out = jnp.where(is_last_tile, box_cl, box)
                 gx = x * xt + c
                 invalid = (gx < min_disparity + lane + r) | (lane >= d_real)
                 dead = dead_rows | (gx >= w_real)
-                cost = jnp.where(invalid, INVALID_COST, box)
+                cost = jnp.where(invalid, INVALID_COST, box_out)
                 cost = jnp.where(dead, 0.0, cost)
                 carry = _path_step(carry, cost, p1, p2)
                 cols.append((cost, carry))
@@ -499,6 +521,7 @@ def _mk_cost_fwd_kernel(bh: int, xt: int, d_pad: int, d_real: int,
             out_ref[:, c0:c0 + 16, :] = jnp.stack([p for _, p in cols],
                                                   axis=1)
         carry_ref[:] = carry
+        down_sweep()
 
     return kernel
 
@@ -537,9 +560,9 @@ def cost_volume_u16(
 
 @partial(jax.jit, static_argnames=(
     "num_disparities", "min_disparity", "block_size", "pre_filter_cap",
-    "p1", "p2", "hp", "wp", "dp", "interpret",
+    "p1", "p2", "hp", "wp", "dp", "with_down", "interpret",
 ))
-def cost_and_fwd(
+def cost_fwd_down(
     left_gray: jax.Array,
     right_gray: jax.Array,
     num_disparities: int,
@@ -549,13 +572,16 @@ def cost_and_fwd(
     p1: float,
     p2: float,
     hp: int, wp: int, dp: int,
+    with_down: bool = True,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused Pallas cost volume + forward path scan.
+    """Fused Pallas cost volume + forward (+ optionally downward) scans.
 
-    Returns (cost_u16, v1_u16), both (hp, wp, dp) with the padding
-    conventions aggregate_and_finalize expects (zero rows/cols beyond the
-    real image, INVALID_COST on out-of-range disparities).
+    Returns (cost u16, v2 = L_fwd [+ L_down] f32), both (hp, wp, dp) with
+    the padding conventions aggregate_and_finalize expects (zero rows/cols
+    beyond the real image, INVALID_COST on out-of-range disparities).
+    with_down=False is the 3-direction (cv2 SGBM_3WAY parity) mode, where
+    the downward path fuses into the finalize kernel instead.
     """
     H, W = left_gray.shape
     r = block_size // 2
@@ -573,6 +599,10 @@ def cost_and_fwd(
                                   pre_filter_cap)
     lo_l, hi_l = _cost._bt_bounds(lpre)
     lo_r, hi_r = _cost._bt_bounds(rpre)
+    # fold the x2 integer scaling into the planes (BT is piecewise linear
+    # with +-1 coefficients) — saves one multiply per colsum element
+    lpre, rpre = lpre * 2.0, rpre * 2.0
+    lo_l, hi_l, lo_r, hi_r = lo_l * 2.0, hi_l * 2.0, lo_r * 2.0, hi_r * 2.0
 
     # plane sizes give every (8, 128)-aligned DMA window headroom:
     # rows [b*BH, b*BH + bhh_dma), cols [x*XT, x*XT + lw_dma) for L and
@@ -596,15 +626,17 @@ def cost_and_fwd(
 
     vol_shape = jax.ShapeDtypeStruct((hp, wp, dp), jnp.uint16)
     # path volumes stay f32 between kernels: values are exact integers
-    # < 2^24 and skipping the u16<->f32 round-trips (Mosaic casts via i32)
-    # is worth more VPU time than the doubled HBM bytes cost
+    # < 2^24, and a u16 round-trip was measured slower (the casts cost
+    # more VPU time than the halved HBM bytes saved on these
+    # compute-bound kernels); only the BT cost itself is u16
     vol_shape_f = jax.ShapeDtypeStruct((hp, wp, dp), jnp.float32)
     hblock = pl.BlockSpec((BH, XT, dp), lambda b, x: (b, x, 0),
                           memory_space=pltpu.VMEM)
-    cost, v1 = pl.pallas_call(
-        _mk_cost_fwd_kernel(BH, XT, dp, num_disparities, H, W, wp, r,
+    cost, v2 = pl.pallas_call(
+        _mk_cost_fwd_kernel(BH, XT, nx, dp, num_disparities, H, W, wp, r,
                             block_size, min_disparity,
                             float(p1) * 2.0, float(p2) * 2.0,
+                            with_down=with_down,
                             static_chunks=not interpret),
         grid=(nb, nx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
@@ -614,18 +646,19 @@ def cost_and_fwd(
             vmem_limit_bytes=64 * 1024 * 1024),
         scratch_shapes=[
             pltpu.VMEM((BH, dp), jnp.float32),
+            pltpu.VMEM((nx, XT, dp), jnp.float32),
             pltpu.VMEM((3, bhh_dma, lw_dma), jnp.float32),
             pltpu.VMEM((3, bhh_dma, rw_dma), jnp.float32),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
     )(*planes)
-    return cost, v1
+    return cost, v2
 
 
 @partial(jax.jit, static_argnames=(
     "p1", "p2", "uniqueness_ratio", "disp12_max_diff", "do_subpixel",
-    "num_disparities", "w_real", "interpret",
+    "num_disparities", "w_real", "interpret", "final_dir",
 ))
 def aggregate_and_finalize(
     cost_u16: jax.Array,
@@ -638,13 +671,20 @@ def aggregate_and_finalize(
     w_real: int | None = None,
     interpret: bool = False,
     v1: jax.Array | None = None,
+    final_dir: str = "up",
 ) -> Tuple[jax.Array, jax.Array]:
-    """4-direction aggregation + WTA/subpixel/uniqueness/LR on a padded
-    uint16 cost volume. Returns (disp_raw f32 in d-index units, valid bool),
-    both (H, W). Shapes must be pre-padded: H % 32 == 0, W % 8 == 0,
-    D % 128 == 0. Pass v1 (the forward-path volume from cost_and_fwd) to
-    skip the standalone forward-scan kernel.
+    """Path aggregation + WTA/subpixel/uniqueness/LR on a padded uint16
+    cost volume. Returns (disp_raw f32 in d-index units, valid bool), both
+    (H, W). Shapes must be pre-padded: H % 64 == 0, W % 8 == 0,
+    D % 128 == 0.
+
+    v1 is the fwd(+down) path volume from cost_fwd_down (computed here
+    with standalone scans if None). final_dir picks the vertical path
+    fused into the finalize kernel: "up" completes 4-direction mode
+    (cv2 HH4 parity; v1 must already contain L_down), "down" completes
+    3-direction mode (cv2 SGBM_3WAY parity; v1 is L_fwd alone).
     """
+    assert final_dir in ("up", "down"), final_dir
     HP, WP, DP = cost_u16.shape
     assert HP % 64 == 0 and WP % 8 == 0 and DP % 128 == 0, cost_u16.shape
     _, XT = _pick_xtile(WP)
@@ -652,21 +692,20 @@ def aggregate_and_finalize(
     BH, BH3, FH = 64, 16, 8
     nb, nx = HP // BH, WP // XT
     nb3 = HP // BH3
+    nbf = HP // FH
     p1f, p2f = float(p1) * 2.0, float(p2) * 2.0  # x2 cost scaling
 
-    # path volumes (v1/v3/s) are f32 between kernels; only the BT cost
-    # stays uint16 (see cost_and_fwd)
+    # path volumes (v1/v3) are f32 between kernels; only the BT cost is
+    # u16 (a u16 round-trip measured slower: casts > HBM saved)
     vol_shape_f = jax.ShapeDtypeStruct((HP, WP, DP), jnp.float32)
     hblock = pl.BlockSpec((BH, XT, DP), lambda b, x: (b, x, 0),
                           memory_space=pltpu.VMEM)
     hblock_r = pl.BlockSpec((BH, XT, DP), lambda b, x: (b, nx - 1 - x, 0),
                             memory_space=pltpu.VMEM)
-    vblock = pl.BlockSpec((BH3, XT, DP), lambda x, b: (b, x, 0),
-                          memory_space=pltpu.VMEM)
-    vblock_r = pl.BlockSpec((BH3, XT, DP), lambda x, b: (nb3 - 1 - b, x, 0),
-                            memory_space=pltpu.VMEM)
 
     if v1 is None:
+        # standalone fwd scan (+ down scan in 4-direction mode); callers
+        # normally get the fused volume from cost_fwd_down instead
         v1 = pl.pallas_call(
             _mk_hscan_kernel(XT, p1f, p2f, reverse=False, accumulate=False),
             grid=(nb, nx),
@@ -674,56 +713,67 @@ def aggregate_and_finalize(
             scratch_shapes=[pltpu.VMEM((BH, DP), jnp.float32)],
             interpret=interpret,
         )(cost_u16)
+        if final_dir == "up":
+            vblock = pl.BlockSpec((BH3, XT, DP), lambda x, b: (b, x, 0),
+                                  memory_space=pltpu.VMEM)
+            v1 = pl.pallas_call(
+                _mk_vscan_kernel(BH3, p1f, p2f, reverse=False),
+                grid=(nx, nb3),
+                in_specs=[vblock, vblock], out_specs=vblock,
+                out_shape=vol_shape_f,
+                scratch_shapes=[pltpu.VMEM((XT, DP), jnp.float32)],
+                input_output_aliases={1: 0},
+                compiler_params=None if interpret else pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
+                interpret=interpret,
+            )(cost_u16, v1)
 
+    # backward-horizontal path accumulated onto v1 -> v3 (64-row bands,
+    # right-to-left; measured faster than full-height strips, whose live
+    # column set spills)
     v3 = pl.pallas_call(
-        _mk_bwd_down_kernel(BH, XT, nx, p1f, p2f,
-                            static_chunks=not interpret),
+        _mk_hscan_kernel(XT, p1f, p2f, reverse=True, accumulate=True),
         grid=(nb, nx),
-        in_specs=[hblock_r, hblock_r], out_specs=hblock_r, out_shape=vol_shape_f,
-        scratch_shapes=[pltpu.VMEM((BH, DP), jnp.float32),
-                        pltpu.VMEM((nx, XT, DP), jnp.float32)],
+        in_specs=[hblock_r, hblock_r], out_specs=hblock_r,
+        out_shape=vol_shape_f,
+        scratch_shapes=[pltpu.VMEM((BH, DP), jnp.float32)],
         input_output_aliases={1: 0},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(cost_u16, v1)
 
-    s = pl.pallas_call(
-        _mk_vscan_kernel(BH3, p1f, p2f, reverse=True),
-        grid=(nx, nb3),
-        in_specs=[vblock_r, vblock_r], out_specs=vblock_r, out_shape=vol_shape_f,
-        scratch_shapes=[pltpu.VMEM((XT, DP), jnp.float32)],
-        input_output_aliases={1: 0},
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(cost_u16, v3)
-
-    fband = pl.BlockSpec((FH, WP, DP), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-    frow = pl.BlockSpec((FH, WP), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    # fused vertical path + finalize on full-width bands (bottom->top for
+    # "up", top->bottom for "down")
+    rev = final_dir == "up"
+    bmap = (lambda b: (nbf - 1 - b, 0, 0)) if rev else (lambda b: (b, 0, 0))
+    rmap = (lambda b: (nbf - 1 - b, 0)) if rev else (lambda b: (b, 0))
+    fband = pl.BlockSpec((FH, WP, DP), bmap, memory_space=pltpu.VMEM)
+    frow = pl.BlockSpec((FH, WP), rmap, memory_space=pltpu.VMEM)
     disp_raw, valid_i32 = pl.pallas_call(
-        _mk_finalize_kernel(FH, num_disparities, DP, WP,
-                            WP if w_real is None else w_real,
-                            uniqueness_ratio, disp12_max_diff, do_subpixel),
-        grid=(HP // FH,),
-        in_specs=[fband],
+        _mk_vfinalize_kernel(FH, num_disparities, DP, WP,
+                             WP if w_real is None else w_real,
+                             uniqueness_ratio, disp12_max_diff,
+                             do_subpixel, p1f, p2f, reverse=rev),
+        grid=(nbf,),
+        in_specs=[fband, fband],
         out_specs=(frow, frow),
         out_shape=(jax.ShapeDtypeStruct((HP, WP), jnp.float32),
                    jax.ShapeDtypeStruct((HP, WP), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((WP, DP), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(s)
+    )(cost_u16, v3)
 
     return disp_raw, valid_i32 > 0
 
 
 @partial(jax.jit, static_argnames=(
     "num_disparities", "min_disparity", "block_size", "p1", "p2",
-    "uniqueness_ratio", "disp12_max_diff", "speckle_window_size",
-    "speckle_range", "pre_filter_cap", "do_subpixel", "speckle_method",
-    "interpret",
+    "num_directions", "uniqueness_ratio", "disp12_max_diff",
+    "speckle_window_size", "speckle_range", "pre_filter_cap",
+    "do_subpixel", "speckle_method", "interpret",
 ))
 def sgm_disparity_pallas(
     left_gray: jax.Array,
@@ -733,6 +783,7 @@ def sgm_disparity_pallas(
     block_size: int = 5,
     p1: float | None = None,
     p2: float | None = None,
+    num_directions: int = 4,
     uniqueness_ratio: int = 10,
     disp12_max_diff: int = 1,
     speckle_window_size: int = 50,
@@ -742,14 +793,19 @@ def sgm_disparity_pallas(
     speckle_method: str = "fast",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Drop-in Pallas twin of sgm.sgm_disparity (4-direction mode).
+    """Drop-in Pallas twin of sgm.sgm_disparity.
+
+    num_directions=4 matches cv2 STEREO_SGBM_MODE_HH4 (L/R/up/down);
+    num_directions=3 matches MODE_SGBM_3WAY (L/R/down) — the reference's
+    production mode (depth4.py:157-170) — and runs one path-scan cheaper.
 
     Gray pair -> (disparity float32 incl. min_disparity, -1 invalid; valid
-    bool). Pads H to a multiple of 32 and W/D to multiples of 128 internally
+    bool). Pads H to a multiple of 64 and W/D to multiples of 128 internally
     (edge-replicated image columns/rows; INVALID_COST disparity lanes).
     """
     from recon3d_tpu.depth import sgm as _sgm
 
+    assert num_directions in (3, 4), num_directions
     if p1 is None:
         p1 = 8.0 * block_size * block_size
     if p2 is None:
@@ -760,20 +816,21 @@ def sgm_disparity_pallas(
     WP, _ = _pick_xtile(W)
     DP = _ceil_to(num_disparities, 128)
 
-    # Fused Pallas cost + forward scan. Padding conventions: INVALID_COST on
-    # extra disparity lanes so they never win WTA, zeros on extra
-    # rows/columns so a zero carry propagates unchanged and the reverse
-    # scans (bottom-up, right-to-left) enter the real image with the
-    # zero-init carry an unpadded scan would start with.
-    cost, v1 = cost_and_fwd(
+    # Fused Pallas cost + forward (+ down in 4-dir mode) scans. Padding
+    # conventions: INVALID_COST on extra disparity lanes so they never win
+    # WTA, zeros on extra rows/columns so a zero carry propagates unchanged
+    # and the reverse scans (bottom-up, right-to-left) enter the real image
+    # with the zero-init carry an unpadded scan would start with.
+    cost, v1 = cost_fwd_down(
         jnp.asarray(left_gray, jnp.float32),
         jnp.asarray(right_gray, jnp.float32),
         num_disparities, min_disparity, block_size, pre_filter_cap,
-        p1, p2, HP, WP, DP, interpret)
+        p1, p2, HP, WP, DP, num_directions == 4, interpret)
 
     disp_raw, valid = aggregate_and_finalize(
         cost, p1, p2, num_disparities, uniqueness_ratio, disp12_max_diff,
-        do_subpixel, W, interpret, v1=v1)
+        do_subpixel, W, interpret, v1=v1,
+        final_dir="up" if num_directions == 4 else "down")
     disp_raw = disp_raw[:H, :W]
     valid = valid[:H, :W]
 

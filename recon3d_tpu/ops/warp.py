@@ -179,3 +179,12 @@ def remap_two_pass(src: jax.Array, plan: RemapPlan) -> jax.Array:
     out = _resample_axis(t, plan.hx, plan.h_coarse, plan.h_coarse_bits,
                          plan.h_resid_bound, axis=1)
     return jnp.where(plan.valid, out, 0.0)
+
+
+@partial(jax.jit, static_argnames=())
+def remap_two_pass_batch(srcs: jax.Array, plan: RemapPlan) -> jax.Array:
+    """Batched remap: (B, H, W) through one plan in a single program —
+    the stereo hot path warps both rectified views per frame, and batching
+    halves the per-op dispatch overhead of the roll/select sweeps."""
+    return jax.vmap(lambda s: remap_two_pass(s, plan))(jnp.asarray(srcs,
+                                                                   jnp.float32))

@@ -63,15 +63,33 @@ def backproject_disparity(
     color: Optional[jax.Array] = None,
     z_min: float = 1e-3,
     z_max: float = 20.0,
+    assume_standard_q: bool = False,
 ) -> PointCloud:
     """Q-matrix backprojection (cv2.reprojectImageTo3D) -> masked PointCloud.
 
     The rectified-stereo path: disparity from the SGM matcher plus the Q from
     stereo rectification gives metric points in the left rectified frame.
-    """
-    from recon3d_tpu.depth.matcher import reproject_image_to_3d
 
-    pts = reproject_image_to_3d(disparity, Q).reshape(-1, 3)
+    assume_standard_q: when the caller guarantees Q has stereoRectify's
+    sparse form (nonzeros only at [0,0]=[1,1]=1, [0,3], [1,3], [2,3],
+    [3,2], [3,3]), skip the general 4x4 homogeneous transform — 6
+    elementwise ops instead of a per-pixel matmul (the streaming hot path).
+    """
+    if assume_standard_q:
+        Q = jnp.asarray(Q, jnp.float32)
+        d = jnp.asarray(disparity, jnp.float32)
+        H, W = d.shape
+        x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        w = Q[3, 2] * d + Q[3, 3]
+        w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+        inv = 1.0 / w
+        pts = jnp.stack([(x + Q[0, 3]) * inv, (y + Q[1, 3]) * inv,
+                         Q[2, 3] * inv], -1).reshape(-1, 3)
+    else:
+        from recon3d_tpu.depth.matcher import reproject_image_to_3d
+
+        pts = reproject_image_to_3d(disparity, Q).reshape(-1, 3)
     z = pts[:, 2]
     valid = (jnp.asarray(disparity).reshape(-1) > 0) & (z > z_min) & (z < z_max)
     valid = valid & jnp.isfinite(pts).all(axis=1)

@@ -201,6 +201,24 @@ class TestMatcherAPI:
         m = disp_true > 1.0
         np.testing.assert_allclose(pts[m], ref[m], rtol=1e-4, atol=1e-4)
 
+    def test_backproject_standard_q_fast_path(self, stereo_pair):
+        # the streaming hot path's sparse-Q shortcut must equal the general
+        # homogeneous transform on a stereoRectify-shaped Q
+        from recon3d_tpu.pointcloud.backproject import backproject_disparity
+
+        _, _, disp_true, _ = stereo_pair
+        Q = np.array([[1, 0, 0, -160.0], [0, 1, 0, -120.0],
+                      [0, 0, 0, 260.0], [0, 0, 1 / 0.06, 0.1]], np.float32)
+        d = jnp.asarray(disp_true)
+        general = backproject_disparity(d, Q)
+        fast = backproject_disparity(d, Q, assume_standard_q=True)
+        np.testing.assert_array_equal(np.asarray(general.valid),
+                                      np.asarray(fast.valid))
+        m = np.asarray(general.valid)
+        np.testing.assert_allclose(np.asarray(fast.points)[m],
+                                   np.asarray(general.points)[m],
+                                   rtol=1e-5, atol=1e-5)
+
     def test_live_adjust_changes_config(self):
         m = matcher.StereoMatcher()
         m.adjust("w")

@@ -59,6 +59,21 @@ class TestPallasParity:
                                    atol=0.5)
         assert (c16[~interior] == int(sgm_pallas.INVALID_COST)).all()
 
+    def test_3direction_matches_xla_oracle(self):
+        # num_directions=3 (cv2 SGBM_3WAY parity: L/R/down, no up pass)
+        gl, gr, _ = _pair(64, 128)
+        kw = dict(num_disparities=16, block_size=3, uniqueness_ratio=10,
+                  disp12_max_diff=1, speckle_window_size=0)
+        d_x, v_x = sgm.sgm_disparity(gl, gr, num_directions=3, **kw)
+        d_p, v_p = sgm_pallas.sgm_disparity_pallas(
+            gl, gr, num_directions=3, interpret=True, **kw)
+        d_x, v_x, d_p, v_p = map(np.asarray, (d_x, v_x, d_p, v_p))
+        assert (v_x == v_p).mean() == 1.0
+        both = v_x & v_p
+        reg = np.zeros_like(both)
+        reg[:, 18:] = True
+        assert np.abs(d_x - d_p)[both & reg].max() < 1e-4
+
     def test_min_disparity(self):
         gl, gr, dt = _pair(48, 128)
         d_p, v_p = sgm_pallas.sgm_disparity_pallas(
