@@ -51,8 +51,7 @@ def main():
     from recon3d_tpu.config import StereoMatcherConfig, WLSConfig
     from recon3d_tpu.depth import sgm_pallas, wls
     from recon3d_tpu.depth.matcher import compute_disparity
-    from recon3d_tpu.ops.warp import (build_remap_plan, remap_two_pass,
-                                      remap_two_pass_batch)
+    from recon3d_tpu.ops.warp import build_remap_plan, remap_two_pass
     from recon3d_tpu.pointcloud.backproject import backproject_disparity
 
     W, H, D = 1920, 1080, 128
@@ -78,8 +77,8 @@ def main():
 
     @jax.jit
     def frame(left_raw, right_raw, pln, Q):
-        lr = remap_two_pass_batch(jnp.stack([left_raw, right_raw]), pln)
-        lg, rg = lr[0], lr[1]
+        lg = remap_two_pass(left_raw, pln)
+        rg = remap_two_pass(right_raw, pln)
         disp, valid = compute_disparity(lg, rg, mcfg, wcfg, True)
         col = jnp.repeat(lg[..., None], 3, axis=-1) / 255.0
         pc = backproject_disparity(disp, Q, color=col, assume_standard_q=True)

@@ -51,12 +51,22 @@ class StreamingScanner:
         """simple_scanning_loop (main.py:34-52)."""
         fps = FPSCounter(self.logger, "scan")
         cap = self.config.processing.capacity
+        empty_streak = 0
         while not self.stop_event.is_set():
             if max_frames is not None and self.frames >= max_frames:
                 break
             pc = self.capture.capture_point_cloud(self.camera)
             if pc is None or int(pc.count()) == 0:
-                continue  # skip invalid frame (main.py:49-50)
+                # skip invalid frame (main.py:49-50), but stop once the
+                # source is clearly exhausted (a non-looping replay returns
+                # None forever; spinning here would hang the scan join)
+                empty_streak += 1
+                if empty_streak >= 30:
+                    self.logger.info("no frames for %d reads, stopping scan",
+                                     empty_streak)
+                    break
+                continue
+            empty_streak = 0
             pc = compact(pc, min(pc.capacity, cap // 4))
             if self.combined is None:
                 self.combined = compact(pc, cap)
