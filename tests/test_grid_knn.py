@@ -89,20 +89,23 @@ class TestGridMoments:
         from recon3d_tpu.utils.types import PointCloud
 
         rng = np.random.RandomState(0)
-        n = 40960  # above the grid-path threshold
+        # just above the 32768 grid-path threshold; a 24^3 grid keeps the
+        # CPU run tractable (the 64^3 configuration this test originally
+        # used burned 16 minutes of suite wall time for the same assertion)
+        n = 36000
         xy = rng.rand(n, 2).astype(np.float32)
         z = 0.05 * np.sin(5 * xy[:, 0]) * np.cos(5 * xy[:, 1])
         pts = np.stack([xy[:, 0], xy[:, 1], z.astype(np.float32)], 1)
         pc = PointCloud(points=jnp.asarray(pts), valid=jnp.ones(n, bool))
-        out = estimate_normals(pc, radius=0.016, grid_size=64,
-                               cell_capacity=16)
+        out = estimate_normals(pc, radius=0.043, grid_size=24,
+                               cell_capacity=24)
         ng = np.asarray(out.normals)
         dzdx = 0.25 * np.cos(5 * xy[:, 0]) * np.cos(5 * xy[:, 1])
         dzdy = -0.25 * np.sin(5 * xy[:, 0]) * np.sin(5 * xy[:, 1])
         na = np.stack([-dzdx, -dzdy, np.ones(n)], 1)
         na /= np.linalg.norm(na, axis=1, keepdims=True)
         # interior points only: the voxel grid covers grid_size*radius from
-        # the min corner (~1.02 here), and border neighborhoods are one-sided
+        # the min corner (~1.03 here), and border neighborhoods are one-sided
         interior = np.all((pts[:, :2] > 0.05) & (pts[:, :2] < 0.95), axis=1)
         cos = np.abs(np.sum(ng * na, 1))[interior]
         assert np.median(cos) > 0.97, f"median |cos| {np.median(cos):.4f}"
