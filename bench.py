@@ -51,7 +51,7 @@ def main():
     from recon3d_tpu.config import StereoMatcherConfig, WLSConfig
     from recon3d_tpu.depth import sgm_pallas, wls
     from recon3d_tpu.depth.matcher import compute_disparity
-    from recon3d_tpu.ops.warp import build_remap_plan, remap_two_pass
+    from recon3d_tpu.ops.warp import build_remap_plan, remap_two_pass_pallas
     from recon3d_tpu.pointcloud.backproject import backproject_disparity
 
     W, H, D = 1920, 1080, 128
@@ -77,8 +77,8 @@ def main():
 
     @jax.jit
     def frame(left_raw, right_raw, pln, Q):
-        lg = remap_two_pass(left_raw, pln)
-        rg = remap_two_pass(right_raw, pln)
+        lg = remap_two_pass_pallas(left_raw, pln)
+        rg = remap_two_pass_pallas(right_raw, pln)
         disp, valid = compute_disparity(lg, rg, mcfg, wcfg, True)
         col = jnp.repeat(lg[..., None], 3, axis=-1) / 255.0
         pc = backproject_disparity(disp, Q, color=col, assume_standard_q=True)
@@ -94,7 +94,7 @@ def main():
     _ = float(out[-1])
     compile_s = time.perf_counter() - t0
 
-    n_iters = 30
+    n_iters = 60
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = frame(jl, jr, plan, jQ)
@@ -139,8 +139,8 @@ def main():
 
     # end-to-end pipelines compared on warped content: ours (two-pass warp
     # + Pallas SGM) vs cv2's (cv2.remap + SGBM) on the same raw pair + maps
-    wl = to8(np.asarray(remap_two_pass(jl, plan)))
-    wr = to8(np.asarray(remap_two_pass(jr, plan)))
+    wl = to8(np.asarray(remap_two_pass_pallas(jl, plan)))
+    wr = to8(np.asarray(remap_two_pass_pallas(jr, plan)))
     disp_w, valid_w = sgm_pallas.sgm_disparity_pallas(
         jnp.asarray(wl, jnp.float32), jnp.asarray(wr, jnp.float32),
         num_disparities=D, block_size=5, num_directions=3)

@@ -67,8 +67,16 @@ def depth_step_planned(
 ):
     """depth_step with the gather-free two-pass rectification warp
     (ops.warp): the TPU hot-path variant of depth4.py:246-262."""
-    lg = _warp.remap_two_pass(_to_gray(left_raw), plan1)
-    rg = _warp.remap_two_pass(_to_gray(right_raw), plan2)
+    import jax
+
+    if jax.default_backend() == "tpu":
+        # VMEM-resident Pallas warp (bitwise-equal, ~1.5x faster at 1080p;
+        # falls back internally on unaligned shapes)
+        lg = _warp.remap_two_pass_pallas(_to_gray(left_raw), plan1)
+        rg = _warp.remap_two_pass_pallas(_to_gray(right_raw), plan2)
+    else:
+        lg = _warp.remap_two_pass(_to_gray(left_raw), plan1)
+        rg = _warp.remap_two_pass(_to_gray(right_raw), plan2)
     disp, valid = _matcher.compute_disparity(lg, rg, mcfg, wcfg, with_wls)
     depth = _matcher.disparity_to_depth(disp, Q)
     vis = im.colormap_jet(im.normalize_minmax(jnp.where(valid, disp, 0.0), 0.0, 1.0))
