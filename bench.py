@@ -162,27 +162,40 @@ def main():
     from recon3d_tpu.pointcloud.voxel import voxel_downsample
     from recon3d_tpu.utils.types import PointCloud
 
+    # guarded: a failure in the side benchmarks (e.g. the remote compile
+    # helper getting OOM-killed on the 10M-point program under memory
+    # pressure) must never lose the headline fps/RMSE line
     rng = np.random.RandomState(0)
-    pc10m = PointCloud(points=jnp.asarray(rng.rand(10_000_000, 3), jnp.float32),
-                       valid=jnp.ones((10_000_000,), bool))
-    vd = jax.jit(lambda p: voxel_downsample(p, 0.05))
-    _ = float(jnp.sum(vd(pc10m).valid))
-    t0 = time.perf_counter()
-    for _i in range(3):
-        out10 = vd(pc10m)
-    _ = float(jnp.sum(out10.valid))
-    ms_vd10m = (time.perf_counter() - t0) / 3 * 1e3
+    ms_vd10m = ms_n1m = None
+    try:
+        pc10m = PointCloud(points=jnp.asarray(rng.rand(10_000_000, 3),
+                                              jnp.float32),
+                           valid=jnp.ones((10_000_000,), bool))
+        vd = jax.jit(lambda p: voxel_downsample(p, 0.05))
+        _ = float(jnp.sum(vd(pc10m).valid))
+        t0 = time.perf_counter()
+        for _i in range(3):
+            out10 = vd(pc10m)
+        _ = float(jnp.sum(out10.valid))
+        ms_vd10m = round((time.perf_counter() - t0) / 3 * 1e3, 1)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"# voxel 10M extra skipped: {type(e).__name__}", flush=True)
 
-    pc1m = PointCloud(points=jnp.asarray(rng.rand(1_000_000, 3), jnp.float32),
-                      valid=jnp.ones((1_000_000,), bool))
-    nf = jax.jit(lambda p: estimate_normals(p, radius=0.02, max_nn=30,
-                                            grid_size=64, cell_capacity=16))
-    _ = float(jnp.sum(nf(pc1m).normals))
-    t0 = time.perf_counter()
-    for _i in range(3):
-        out1 = nf(pc1m)
-    _ = float(jnp.sum(out1.normals))
-    ms_n1m = (time.perf_counter() - t0) / 3 * 1e3
+    try:
+        pc1m = PointCloud(points=jnp.asarray(rng.rand(1_000_000, 3),
+                                             jnp.float32),
+                          valid=jnp.ones((1_000_000,), bool))
+        nf = jax.jit(lambda p: estimate_normals(p, radius=0.02, max_nn=30,
+                                                grid_size=64,
+                                                cell_capacity=16))
+        _ = float(jnp.sum(nf(pc1m).normals))
+        t0 = time.perf_counter()
+        for _i in range(3):
+            out1 = nf(pc1m)
+        _ = float(jnp.sum(out1.normals))
+        ms_n1m = round((time.perf_counter() - t0) / 3 * 1e3, 1)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"# normals 1M extra skipped: {type(e).__name__}", flush=True)
 
     print(json.dumps({
         "metric": "stereo_1080p_pair_to_colored_cloud_fps",
@@ -201,8 +214,8 @@ def main():
             "rmse_vs_cv2_full_pipeline_px": round(rmse_cv_full, 4),
             "rmse_vs_analytic_truth_px": round(rmse_truth, 4),
             "both_valid_frac": round(float(both.mean()), 3),
-            "voxel_downsample_10m_ms": round(ms_vd10m, 1),
-            "normals_1m_ms": round(ms_n1m, 1),
+            "voxel_downsample_10m_ms": ms_vd10m,
+            "normals_1m_ms": ms_n1m,
         },
     }))
 
