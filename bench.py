@@ -138,18 +138,25 @@ def main():
         speckleWindowSize=50, speckleRange=32, preFilterCap=63, mode=mode3)
 
     # end-to-end pipelines compared on warped content: ours (two-pass warp
-    # + Pallas SGM) vs cv2's (cv2.remap + SGBM) on the same raw pair + maps
-    wl = to8(np.asarray(remap_two_pass_pallas(jl, plan)))
-    wr = to8(np.asarray(remap_two_pass_pallas(jr, plan)))
-    disp_w, valid_w = sgm_pallas.sgm_disparity_pallas(
-        jnp.asarray(wl, jnp.float32), jnp.asarray(wr, jnp.float32),
-        num_disparities=D, block_size=5, num_directions=3)
-    disp_w, valid_w = np.asarray(disp_w), np.asarray(valid_w)
-    cvl = cv2.remap(raw_l, mx, my, cv2.INTER_LINEAR)
-    cvr = cv2.remap(raw_r, mx, my, cv2.INTER_LINEAR)
-    d_cv_full = sgbm.compute(to8(cvl), to8(cvr)).astype(np.float32) / 16.0
-    both_f = valid_w & (d_cv_full > 0)
-    rmse_cv_full = float(np.sqrt(((disp_w[both_f] - d_cv_full[both_f]) ** 2).mean()))
+    # + Pallas SGM) vs cv2's (cv2.remap + SGBM) on the same raw pair + maps.
+    # Guarded: the full-pipeline cross-check must not lose the headline.
+    rmse_cv_full = None
+    try:
+        wl = to8(np.asarray(remap_two_pass_pallas(jl, plan)))
+        wr = to8(np.asarray(remap_two_pass_pallas(jr, plan)))
+        disp_w, valid_w = sgm_pallas.sgm_disparity_pallas(
+            jnp.asarray(wl, jnp.float32), jnp.asarray(wr, jnp.float32),
+            num_disparities=D, block_size=5, num_directions=3)
+        disp_w, valid_w = np.asarray(disp_w), np.asarray(valid_w)
+        cvl = cv2.remap(raw_l, mx, my, cv2.INTER_LINEAR)
+        cvr = cv2.remap(raw_r, mx, my, cv2.INTER_LINEAR)
+        d_cv_full = sgbm.compute(to8(cvl), to8(cvr)).astype(np.float32) / 16.0
+        both_f = valid_w & (d_cv_full > 0)
+        rmse_cv_full = round(float(np.sqrt(
+            ((disp_w[both_f] - d_cv_full[both_f]) ** 2).mean())), 4)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"# full-pipeline cross-check skipped: {type(e).__name__}",
+              flush=True)
 
     # analytic ground truth (rendered disparity field) on the same pair
     mt = valid_p & (disp_true > 1.0)
@@ -211,7 +218,7 @@ def main():
             "compile_s": round(compile_s, 1),
             "rmse_vs_cv2_sgbm_px": round(rmse_cv, 4),
             "rmse_vs_cv2_sgbm_5path_px": round(rmse_cv_default, 4),
-            "rmse_vs_cv2_full_pipeline_px": round(rmse_cv_full, 4),
+            "rmse_vs_cv2_full_pipeline_px": rmse_cv_full,
             "rmse_vs_analytic_truth_px": round(rmse_truth, 4),
             "both_valid_frac": round(float(both.mean()), 3),
             "voxel_downsample_10m_ms": ms_vd10m,
