@@ -65,7 +65,10 @@ def main():
     raw_l, raw_r = rect_l.astype(np.float32), rect_r.astype(np.float32)
     plan = build_remap_plan(mx, my)
 
+    # the full standard stereoRectify Q form — [0,0]=[1,1]=1 is part of the
+    # assume_standard_q contract in backproject_disparity
     Q = np.zeros((4, 4), np.float32)
+    Q[0, 0], Q[1, 1] = 1.0, 1.0
     Q[0, 3], Q[1, 3] = -W / 2.0, -H / 2.0
     Q[2, 3], Q[3, 2] = focal, 1.0 / baseline
 

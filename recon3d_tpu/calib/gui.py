@@ -129,10 +129,25 @@ class CalibrationGUI:
             self.session.capture_pair()
             status.set(self.session.status)
 
+        calibrating = threading.Event()
+
         def on_calibrate():
+            if calibrating.is_set():
+                return
+            calibrating.set()
+            status.set("calibrating...")
+
             def work():
-                self.session.run_calibration()
-                status.set(self.session.status)
+                try:
+                    self.session.run_calibration()
+                finally:
+                    # Tk is not thread-safe: marshal the StringVar update
+                    # (and the preview un-pause) back onto the Tk thread
+                    def done():
+                        calibrating.clear()
+                        status.set(self.session.status)
+
+                    root.after(0, done)
 
             threading.Thread(target=work, daemon=True).start()
 
@@ -156,6 +171,11 @@ class CalibrationGUI:
         def tick():
             if self._stop.is_set():
                 root.destroy()
+                return
+            if calibrating.is_set():
+                # pause the preview: don't read the cameras concurrently
+                # with the calibration worker thread
+                root.after(self.preview_ms, tick)
                 return
             pair = self.session.read_pair()
             if pair is not None:

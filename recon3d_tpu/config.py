@@ -169,6 +169,9 @@ class ScannerConfig:
     visualize: bool = False
     max_fragments: int = 64  # fragment ring buffer cap (check83.py:318-330)
     save_frames: bool = True  # per-frame checkpointing (mini1.py:154-158)
+    # stop the scan thread after this long without a single valid frame from
+    # a live source (replay sources cut on a short empty-read streak instead)
+    empty_timeout_s: float = 5.0
 
 
 _LEAF = (int, float, str, bool)

@@ -180,9 +180,10 @@ def _finalize_body(S, fh: int, d_real: int, d_pad: int, w_pad: int,
 
     Gather-free: the volume shear S_R(x, d) = S(x + d, d) is composed from
     log2(D) masked rolls along the sublane (x) axis; the per-pixel lookup
-    d_R(x - d_L(x)) is a D-step plane sweep over the 2-D dR plane (D rolls
-    of a W-sized plane beat log2(D) rolls of the W*D volume ~7x in VPU
-    work).
+    d_R(x - d_L(x)) is the same log2(D) masked-roll ladder applied to the
+    broadcast (fh, W, D) plane DR2(x, d) = dR(x - d), one-hot-picked at
+    lane d0(x) (see the inline comment at the DR2 ladder for why the
+    cheaper-looking alternatives are wrong or slower).
     """
     shift_bits = []
     b = 1
@@ -245,21 +246,15 @@ def _finalize_body(S, fh: int, d_real: int, d_pad: int, w_pad: int,
         T = jnp.where(xcol + lane >= w_real, BIGP, T)
         mr = jnp.min(T, axis=-1, keepdims=True)
         dR = mr - jnp.floor(mr / PK) * PK  # (FH, W, 1) f32 lane index
-        # G(x) = dR(x - d0(x)), gather-free: a d_real-step plane sweep —
-        # roll the 2-D dR plane right by every candidate shift s and keep
-        # it where d0 == s. A masked-roll ladder on d0's bits would be
-        # wrong (intermediate values at other columns get routed by their
-        # own d0); the round-1 ladder on the broadcast (W, D) volume was
-        # exact but did log2(D) volume-sized ops where this sweep does D
-        # plane-sized ones. d0 < d_real always: in-range lanes beat
-        # INVALID_COST lanes, and all-invalid columns tie-break to lane 0.
-        # G(x) = dR(x - d0(x)), gather-free: build the lane-indexed plane
-        # DR2(x, d) = dR(x - d) with per-lane uniform rolls, then
-        # one-hot-pick lane d0(x). A direct ladder masked on d0's bits
-        # would be wrong (intermediate values at other columns get routed
-        # by their own d0); a fori_loop plane sweep with dynamic-shift
-        # rotates is exact but measured 25x slower (dynamic lane rotates
-        # serialize), so the volume ladder stays.
+        # G(x) = dR(x - d0(x)), gather-free: build the lane-indexed volume
+        # DR2(x, d) = dR(x - d) with the log2(D) masked-roll ladder on the
+        # broadcast (fh, W, D) plane, then one-hot-pick lane d0(x). A
+        # direct ladder masked on d0's bits would be wrong (intermediate
+        # values at other columns get routed by their own d0); a fori_loop
+        # plane sweep with dynamic-shift rotates is exact but measured 25x
+        # slower (dynamic lane rotates serialize), so the volume ladder
+        # stays. d0 < d_real always: in-range lanes beat INVALID_COST
+        # lanes, and all-invalid columns tie-break to lane 0.
         DR2 = jnp.broadcast_to(dR, (fh, w_pad, d_pad))
         for bshift in shift_bits:
             DR2 = jnp.where((lane & bshift) > 0,

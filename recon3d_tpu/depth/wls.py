@@ -23,13 +23,24 @@ import jax
 import jax.numpy as jnp
 
 
+# Minimum interior edge weight. With a full-range (0..255) guide and the
+# production sigma=1.5, exp(-|dI|/sigma) underflows to 0 across strong
+# edges; a zero-confidence pixel enclosed by such edges would make the
+# tridiagonal system exactly singular and its output scheduler-dependent
+# garbage. The floor keeps every pixel weakly coupled (lam*1e-6 ~ 8e-3 at
+# the production lambda), so holes in-fill deterministically; where weights
+# are non-degenerate (>=1e-3) the effect is negligible.
+WEIGHT_FLOOR = 1e-6
+
+
 def _edge_weights(guide: jax.Array, axis: int, sigma_color: float) -> jax.Array:
     """w[i] = weight of the edge between pixel i-1 and i along axis (w[0]=0)."""
     g = jnp.asarray(guide, jnp.float32)
     d = jnp.abs(jnp.diff(g, axis=axis))
     if g.ndim == 3:  # color guide: L1 over channels (ximgproc uses total diff)
         d = jnp.sum(d, axis=-1)
-    w = jnp.exp(-d / jnp.float32(sigma_color))
+    w = jnp.maximum(jnp.exp(-d / jnp.float32(sigma_color)),
+                    jnp.float32(WEIGHT_FLOOR))
     pad = [(0, 0), (0, 0)]
     pad[axis] = (1, 0)
     return jnp.pad(w, pad)

@@ -10,6 +10,7 @@ explicit Event (the reference blocks on input(), main.py:64-66).
 from __future__ import annotations
 
 import threading
+import time
 from typing import Optional
 
 import jax.numpy as jnp
@@ -51,22 +52,35 @@ class StreamingScanner:
         """simple_scanning_loop (main.py:34-52)."""
         fps = FPSCounter(self.logger, "scan")
         cap = self.config.processing.capacity
+        # A non-looping replay source (camera.loop is False) returns None
+        # forever once exhausted — cut fast on a short streak. A live camera
+        # returning None is usually transient warm-up (CSI/GStreamer sources
+        # deliver nothing until the first buffer arrives; the reference loop
+        # main.py:49-50 skips forever), so live sources get a wall-clock
+        # bound with a short sleep per empty read, not an iteration count.
+        replay_eof = getattr(self.camera, "loop", None) is False
         empty_streak = 0
+        empty_since: Optional[float] = None
         while not self.stop_event.is_set():
             if max_frames is not None and self.frames >= max_frames:
                 break
             pc = self.capture.capture_point_cloud(self.camera)
             if pc is None or int(pc.count()) == 0:
-                # skip invalid frame (main.py:49-50), but stop once the
-                # source is clearly exhausted (a non-looping replay returns
-                # None forever; spinning here would hang the scan join)
                 empty_streak += 1
-                if empty_streak >= 30:
-                    self.logger.info("no frames for %d reads, stopping scan",
-                                     empty_streak)
+                now = time.monotonic()
+                empty_since = empty_since if empty_since is not None else now
+                if replay_eof and empty_streak >= 3:
+                    self.logger.info("replay exhausted after %d empty reads, "
+                                     "stopping scan", empty_streak)
                     break
+                if now - empty_since > self.config.empty_timeout_s:
+                    self.logger.info("no frames for %.1f s, stopping scan",
+                                     now - empty_since)
+                    break
+                time.sleep(0.005)
                 continue
             empty_streak = 0
+            empty_since = None
             pc = compact(pc, min(pc.capacity, cap // 4))
             if self.combined is None:
                 self.combined = compact(pc, cap)

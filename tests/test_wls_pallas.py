@@ -1,8 +1,11 @@
 """Pallas FGS-WLS solver vs the XLA lax.scan twin (interpret mode on CPU).
 
-wls.fast_global_smoother carries the cv2.ximgproc parity (test_depth.py);
-the Pallas kernel must reproduce it to float tolerance since both run the
-identical Thomas recurrence, just with different schedulers.
+The external-oracle parity for the FGS algorithm itself lives in
+test_wls_oracle.py (float64 LAPACK solve_banded implementation of the
+published Min et al. 2014 algorithm — cv2 in this image has no ximgproc
+module to compare against directly). Here the Pallas kernel must reproduce
+the XLA twin to float tolerance since both run the identical Thomas
+recurrence, just with different schedulers.
 """
 import jax.numpy as jnp
 import numpy as np

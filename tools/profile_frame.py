@@ -84,6 +84,7 @@ def main():
                              disp_raw, valid, jl)
 
     Q = np.zeros((4, 4), np.float32)
+    Q[0, 0], Q[1, 1] = 1.0, 1.0
     Q[0, 3], Q[1, 3], Q[2, 3], Q[3, 2] = -W / 2, -H / 2, 1050.0, 1.0 / 0.06
     jQ = jnp.asarray(Q)
     bp = jax.jit(lambda d, q, c: backproject_disparity(d, q, color=c).points)
