@@ -46,12 +46,16 @@ def compute_disparity(
         p1, p2 = float(matcher.p1()), float(matcher.p2())
 
     backend = matcher.backend
+    on_tpu = jax.default_backend() == "tpu"
     if backend == "auto":
-        backend = ("pallas" if jax.default_backend() == "tpu"
-                   and num_directions in (3, 4) else "xla")
+        backend = ("pallas" if on_tpu and num_directions in (3, 4) else "xla")
     if backend == "pallas" and num_directions in (3, 4):
         from recon3d_tpu.depth import sgm_pallas as _sgmp
 
+        # an explicit backend="pallas" off-TPU runs the SAME kernels in
+        # interpret mode — this is how the multi-device tests and the
+        # driver dryrun exercise the production path on the virtual mesh
+        interpret = not on_tpu
         speckle_method = matcher.speckle_method
         if speckle_method == "auto":
             speckle_method = "fast"
@@ -68,6 +72,7 @@ def compute_disparity(
             pre_filter_cap=matcher.pre_filter_cap,
             do_subpixel=matcher.subpixel,
             speckle_method=speckle_method,
+            interpret=interpret,
         )
     else:
         disp, valid = _sgm.sgm_disparity(
@@ -89,7 +94,8 @@ def compute_disparity(
 
             disp = _wlsp.wls_refine_pallas(
                 disp, valid, left_gray, lam=wls.lam,
-                sigma_color=wls.sigma_color, iterations=wls.iterations)
+                sigma_color=wls.sigma_color, iterations=wls.iterations,
+                interpret=not on_tpu)
         else:
             disp = _wls.wls_refine(disp, valid, left_gray,
                                    lam=wls.lam, sigma_color=wls.sigma_color,

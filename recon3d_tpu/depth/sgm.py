@@ -23,6 +23,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from recon3d_tpu.utils.vma import vary_like
+
 BIG = jnp.float32(1e9)
 
 
@@ -54,7 +56,7 @@ def _scan_dir(cost: jax.Array, axis: int, reverse: bool, P1, P2, col_shift: int 
         out = _sgm_step(carry, c, P1, P2)
         return out, out
 
-    init = jnp.zeros_like(vol[0])
+    init = vary_like(jnp.zeros_like(vol[0]), vol)
     # modest unroll: amortizes per-step loop overhead (the scans are
     # latency-bound, not FLOP-bound) without the minutes-long compiles
     # unroll=16 caused at 1080p; the production TPU path is sgm_pallas

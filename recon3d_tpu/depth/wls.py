@@ -22,6 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from recon3d_tpu.utils.vma import vary_like
+
 
 # Minimum interior edge weight. With a full-range (0..255) guide and the
 # production sigma=1.5, exp(-|dI|/sigma) underflows to 0 across strong
@@ -68,7 +70,7 @@ def _tridiag_solve_lastaxis(wl: jax.Array, wr: jax.Array, diag: jax.Array,
     T = rhs.shape[-1]
     xs = (jnp.moveaxis(a, -1, 0), jnp.moveaxis(diag, -1, 0),
           jnp.moveaxis(c, -1, 0), jnp.moveaxis(rhs, -1, 0))
-    zeros = jnp.zeros(rhs.shape[:-1], rhs.dtype)
+    zeros = vary_like(jnp.zeros(rhs.shape[:-1], rhs.dtype), rhs)
     _, (cps, dps) = jax.lax.scan(fwd, (zeros, zeros), xs, unroll=16)
 
     def bwd(u_next, x):

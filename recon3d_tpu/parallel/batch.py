@@ -52,11 +52,21 @@ def batched_depth(
         count = jax.lax.psum(local_cnt, axis)
         return disp, valid, total / jnp.maximum(count, 1.0)
 
+    # The varying-axes check runs whenever the resolved backend is the XLA
+    # twin (scan carries are pvary'd via utils.vma.vary_like). It must stay
+    # off for the Pallas path: pallas_call's out_shape structs carry no vma
+    # and JAX's interpret-mode HLO interpreter mixes unvarying grid
+    # constants with varying block data — JAX's own error message for both
+    # cases directs passing check_vma=False (tests/test_parallel.py instead
+    # asserts sharded-vs-unsharded equality for that path, which is the
+    # property the check would protect).
+    uses_pallas = mcfg.backend == "pallas" or (
+        mcfg.backend == "auto" and jax.default_backend() == "tpu")
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P()),
-        check_vma=False,  # wls.py's scan carries trip the varying-axes check
+        check_vma=not uses_pallas,
     )
     sh = NamedSharding(mesh, P(axis))
     lefts = jax.device_put(jnp.asarray(lefts, jnp.float32), sh)

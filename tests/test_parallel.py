@@ -96,6 +96,60 @@ class TestShardedDepth:
         np.testing.assert_allclose(float(stat), expect, rtol=1e-5)
 
 
+class TestShardedPallasDepth:
+    """The PRODUCTION Pallas kernels under multi-device sharding.
+
+    backend="pallas" off-TPU runs the same sgm_pallas/wls_pallas kernels in
+    interpret mode, composed with a frame-axis shard_map over the 8-device
+    virtual mesh — the structure the real multi-chip deployment uses
+    (whole kernels per shard; SURVEY.md section 2.5). Asserts shard layout
+    AND exact-mask/1e-4-disparity equality with the unsharded Pallas path,
+    which is the property check_vma would protect (it must be off for
+    pallas_call: JAX's interpret-mode interpreter cannot propagate varying
+    manual axes and its error message directs check_vma=False).
+    """
+
+    def test_pallas_sharded_matches_unsharded(self, mesh, stereo_batch):
+        ls, rs = stereo_batch
+        mcfg = StereoMatcherConfig(num_disparities=16, block_size=3,
+                                   backend="pallas", speckle_window_size=0)
+        wcfg = WLSConfig(iterations=2)
+        disp, valid, stat = pbatch.batched_depth(ls, rs, mesh, mcfg, wcfg)
+
+        assert _n_frame_shards(disp) == N_DEV
+        assert _n_frame_shards(valid) == N_DEV
+        assert np.isfinite(float(stat))
+
+        for k in range(N_DEV):
+            d1, v1 = compute_disparity(jnp.asarray(ls[k]), jnp.asarray(rs[k]),
+                                       mcfg, wcfg, True)
+            np.testing.assert_array_equal(np.asarray(valid[k]),
+                                          np.asarray(v1))
+            np.testing.assert_allclose(np.asarray(disp[k]), np.asarray(d1),
+                                       atol=1e-4)
+
+    def test_pallas_sharded_matches_xla_twin(self, mesh, stereo_batch):
+        """Cross-backend: the sharded Pallas output agrees with the sharded
+        XLA twin within the suite's established pallas-vs-xla tolerance
+        (sentinel-border differences excluded via the valid mask)."""
+        ls, rs = stereo_batch
+        wcfg = WLSConfig(iterations=2)
+        kw = dict(num_disparities=16, block_size=3, speckle_window_size=0)
+        dp, vp, _ = pbatch.batched_depth(
+            ls, rs, mesh, StereoMatcherConfig(backend="pallas", **kw), wcfg,
+            with_wls=False)
+        dx, vx, _ = pbatch.batched_depth(
+            ls, rs, mesh, StereoMatcherConfig(backend="xla", **kw), wcfg,
+            with_wls=False)
+        dp, vp = np.asarray(dp), np.asarray(vp)
+        dx, vx = np.asarray(dx), np.asarray(vx)
+        assert (vp == vx).mean() == 1.0
+        both = vp & vx
+        reg = np.zeros_like(both)
+        reg[:, :, 16 + 2:] = True  # away from the sentinel-dominated border
+        assert np.abs(dp - dx)[both & reg].max() < 1e-4
+
+
 class TestShardedRegistration:
     def test_batched_vmap_matches_sequential(self, cloud_pairs):
         srcs, tgts, truths = cloud_pairs
