@@ -64,6 +64,13 @@ def main():
     # both our pipeline and the cv2 oracle consume the SAME raw + maps
     raw_l, raw_r = rect_l.astype(np.float32), rect_r.astype(np.float32)
     plan = build_remap_plan(mx, my)
+    # distinct BGR color stream (the aligned color camera's frame,
+    # pointcloud_capture.py:40): the benched program converts BGR->RGB and
+    # maps it onto the cloud, so the fps includes the real color path
+    rng_c = np.random.RandomState(1)
+    raw_color = np.stack([
+        np.clip(raw_l * s + rng_c.rand(H, W) * 8.0, 0, 255)
+        for s in (0.9, 1.0, 0.8)], axis=-1).astype(np.uint8)  # B, G, R
 
     # the full standard stereoRectify Q form — [0,0]=[1,1]=1 is part of the
     # assume_standard_q contract in backproject_disparity
@@ -79,28 +86,31 @@ def main():
     wcfg = WLSConfig()
 
     @jax.jit
-    def frame(left_raw, right_raw, pln, Q):
+    def frame(left_raw, right_raw, color_bgr, pln, Q):
         lg = remap_two_pass_pallas(left_raw, pln)
         rg = remap_two_pass_pallas(right_raw, pln)
         disp, valid = compute_disparity(lg, rg, mcfg, wcfg, True)
-        col = jnp.repeat(lg[..., None], 3, axis=-1) / 255.0
+        # BGR uint8 color stream -> RGB float cloud colors
+        # (pointcloud_capture.py:40 cv2.cvtColor(BGR2RGB) + map_to)
+        col = color_bgr[..., ::-1].astype(jnp.float32) / 255.0
         pc = backproject_disparity(disp, Q, color=col, assume_standard_q=True)
         # scalar checksum forces the whole frame on-device
         return pc.points, pc.colors, pc.valid, disp, jnp.sum(disp)
 
     jl = jnp.asarray(raw_l)
     jr = jnp.asarray(raw_r)
+    jc = jnp.asarray(raw_color)
     jQ = jnp.asarray(Q)
 
     t0 = time.perf_counter()
-    out = frame(jl, jr, plan, jQ)
+    out = frame(jl, jr, jc, plan, jQ)
     _ = float(out[-1])
     compile_s = time.perf_counter() - t0
 
     n_iters = 60
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = frame(jl, jr, plan, jQ)
+        out = frame(jl, jr, jc, plan, jQ)
     _ = float(out[-1])  # device round-trip: everything queued has executed
     dt = time.perf_counter() - t0
     fps = n_iters / dt
@@ -191,6 +201,37 @@ def main():
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# voxel 10M extra skipped: {type(e).__name__}", flush=True)
 
+    # sustained streaming capture->fuse throughput (check90.py's two-thread
+    # SLAM): threaded producer/consumer on the golden 640x480 RealSense
+    # replay, odometry+TSDF integrate per frame as ONE donated device
+    # program (no per-frame host syncs). Measured after warm-up.
+    streaming_fps = None
+    try:
+        from recon3d_tpu.camera.fake import FakeRGBDCamera
+        from recon3d_tpu.config import ScannerConfig
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+        from recon3d_tpu.utils.types import CameraIntrinsics
+
+        s_cam = FakeRGBDCamera("/root/reference/test/output", loop=True)
+        s_intr = CameraIntrinsics(
+            fx=jnp.float32(616.63), fy=jnp.float32(616.31),
+            cx=jnp.float32(312.58), cy=jnp.float32(242.22))
+        sf = StreamingFusion(s_cam, s_intr, ScannerConfig(),
+                             resolution=256).start()
+        deadline = time.perf_counter() + 600.0
+        while sf.frames_integrated < 5 and time.perf_counter() < deadline:
+            time.sleep(0.1)  # warm-up: first frames pay the compiles
+        n0, t0 = sf.frames_integrated, time.perf_counter()
+        while (sf.frames_integrated < n0 + 90
+               and time.perf_counter() < t0 + 30.0):
+            time.sleep(0.05)
+        n1, t1 = sf.frames_integrated, time.perf_counter()
+        sf.stop()
+        if n1 > n0:
+            streaming_fps = round((n1 - n0) / (t1 - t0), 2)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"# streaming extra skipped: {type(e).__name__}", flush=True)
+
     try:
         pc1m = PointCloud(points=jnp.asarray(rng.rand(1_000_000, 3),
                                              jnp.float32),
@@ -226,6 +267,7 @@ def main():
             "both_valid_frac": round(float(both.mean()), 3),
             "voxel_downsample_10m_ms": ms_vd10m,
             "normals_1m_ms": ms_n1m,
+            "streaming_fps": streaming_fps,
         },
     }))
 

@@ -13,8 +13,9 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,23 @@ from recon3d_tpu.registration.odometry import compute_rgbd_odometry
 from recon3d_tpu.utils.logging import FPSCounter, make_logger
 from recon3d_tpu.utils.profiling import StageTimer
 from recon3d_tpu.utils.types import CameraIntrinsics, RGBDImage
+
+
+class _TrackState(NamedTuple):
+    """Device-resident tracking state: the odometry accept/promote decision
+    runs entirely on-device (lax select, not host bool()), so the fusion
+    consumer never forces a device round-trip per frame — the per-frame
+    host syncs the round-1 review flagged (streaming.py:143-150 then)
+    defeated the async double buffering."""
+
+    world_from_cam: jax.Array   # (4, 4) latest accepted pose
+    world_from_key: jax.Array   # (4, 4) pose of the current keyframe
+    rel_init: jax.Array         # (4, 4) cur_cam_from_key warm start
+    key_color: jax.Array        # keyframe RGBD (same shapes as the stream)
+    key_depth: jax.Array
+    failures: jax.Array         # i32 scalar: odometry failures so far
+    last_inliers: jax.Array     # f32 scalar: last frame's inlier fraction
+    last_success: jax.Array     # bool scalar
 
 
 class StreamingFusion:
@@ -53,11 +71,11 @@ class StreamingFusion:
         self.volume = _tsdf.make_volume(
             resolution=resolution, voxel_size=cfg.voxel_size,
             sdf_trunc=cfg.sdf_trunc, origin=origin, with_color=cfg.color)
-        self.world_from_cam = np.eye(4, dtype=np.float32)
-        self.trajectory: List[np.ndarray] = []
-        self.prev: Optional[RGBDImage] = None
+        self.trajectory: List = []  # (4,4) device arrays, no per-frame sync
         self.frames_integrated = 0
-        self.odometry_failures = 0
+        self._host_failures = 0  # exceptions in the fusion loop
+        self._state: Optional[_TrackState] = None
+        self._step = None  # jitted on-device track+integrate, built lazily
         self._threads: List[threading.Thread] = []
         # Keyframe tracking: register each frame against a reference
         # keyframe instead of the previous frame, so per-step odometry bias
@@ -68,9 +86,6 @@ class StreamingFusion:
             raise ValueError(f"unknown tracking mode {tracking!r}")
         self._promote_below = (2.0 if tracking == "frame_to_frame"
                                else keyframe_min_inliers)
-        self.world_from_key = np.eye(4, dtype=np.float32)
-        self._rel_init = jnp.eye(4, dtype=jnp.float32)  # cur_cam_from_key
-        self.keyframe: Optional[RGBDImage] = None
         # per-stage odometry/integrate timing; profile=True adds a device
         # sync per stage for exact numbers (costs a round-trip per frame —
         # without it the stages measure dispatch + host work only)
@@ -123,56 +138,105 @@ class StreamingFusion:
                 self._fuse_one(color, depth, cfg)
                 fps.tick()
             except Exception:  # keep the stream alive (check82-style)
-                self.odometry_failures += 1
+                self._host_failures += 1
                 self.logger.exception("fusion step failed; frame dropped")
 
+    # ---- attribute compatibility: these sync on ACCESS (end-of-run /
+    # tests), never on the per-frame consumer path
+    @property
+    def odometry_failures(self) -> int:
+        dev = 0 if self._state is None else int(self._state.failures)
+        return dev + self._host_failures
+
+    @property
+    def world_from_cam(self) -> np.ndarray:
+        if self._state is None:
+            return np.eye(4, dtype=np.float32)
+        return np.asarray(self._state.world_from_cam)
+
+    def _build_step(self, cfg):
+        """One jitted program per frame: depth filter -> odometry vs the
+        device-resident keyframe -> accept/promote selects (lax, no host
+        bool()) -> pose update -> donated TSDF integrate. The volume AND
+        the tracking state are donated, so steady-state streaming allocates
+        nothing and never blocks on a device round-trip (check90.py:188-226
+        consumer semantics, minus the reference's per-frame host math)."""
+        intr = self.intrinsics
+        promote_below = self._promote_below
+        depth_filters = self.depth_filters
+        with_color = cfg.color
+        depth_trunc = cfg.depth_trunc
+        eye = jnp.eye(4, dtype=jnp.float32)
+
+        def step(volume, state: _TrackState, color, depth):
+            if depth_filters is not None:
+                depth = depth_filters(depth)
+            cur = RGBDImage(color=color, depth=depth)
+            key = RGBDImage(color=state.key_color, depth=state.key_depth)
+            res = compute_rgbd_odometry(key, cur, intr, init=state.rel_init)
+            ok = res.success
+            # success: cur_cam_from_key advances; failure: keep last pose
+            # and re-seat the keyframe so tracking recovers
+            # (check82.py:200-207)
+            cur_from_key = jnp.where(ok, res.transformation, state.rel_init)
+            wfc = jnp.where(
+                ok, state.world_from_key @ jnp.linalg.inv(cur_from_key),
+                state.world_from_cam)
+            promote = (~ok) | (res.inlier_fraction < promote_below)
+            new_state = _TrackState(
+                world_from_cam=wfc,
+                world_from_key=jnp.where(promote, wfc, state.world_from_key),
+                rel_init=jnp.where(promote, eye, cur_from_key),
+                key_color=jnp.where(promote, color, state.key_color),
+                key_depth=jnp.where(promote, depth, state.key_depth),
+                failures=state.failures + (~ok).astype(jnp.int32),
+                last_inliers=res.inlier_fraction,
+                last_success=ok,
+            )
+            new_volume = _tsdf._integrate(
+                volume, depth, intr, jnp.linalg.inv(wfc),
+                color=color if with_color else None,
+                depth_trunc=depth_trunc)
+            return new_volume, new_state, wfc
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
     def _fuse_one(self, color, depth, cfg):
+        color = jnp.asarray(color)
+        depth = jnp.asarray(depth)
+        if self._state is None:
+            # first frame: integrate at identity, seat the keyframe
             if self.depth_filters is not None:
-                with self.timer.stage("depth_filter"):
-                    depth = self.depth_filters(jnp.asarray(depth))
-            cur = RGBDImage(color=jnp.asarray(color), depth=jnp.asarray(depth))
-            if self.prev is None:
-                self.keyframe = cur
-            else:
-                with self.timer.stage("odometry"):
-                    res = compute_rgbd_odometry(self.keyframe, cur,
-                                                self.intrinsics,
-                                                init=self._rel_init)
-                    if self._profile:
-                        self.timer.sync(res.transformation)
-                if bool(res.success):
-                    # res.transformation: cur_cam_from_key_cam
-                    cur_from_key = np.asarray(res.transformation)
-                    self.world_from_cam = (
-                        self.world_from_key @ np.linalg.inv(cur_from_key)
-                    ).astype(np.float32)
-                    self._rel_init = jnp.asarray(cur_from_key)
-                    if float(res.inlier_fraction) < self._promote_below:
-                        self.keyframe = cur
-                        self.world_from_key = self.world_from_cam.copy()
-                        self._rel_init = jnp.eye(4, dtype=jnp.float32)
-                else:
-                    # odometry failure -> keep last pose (check82.py:200-207)
-                    # and re-seat the keyframe so tracking can recover
-                    self.odometry_failures += 1
-                    self.logger.warning("odometry failed (inliers %.2f); "
-                                        "reusing last pose",
-                                        float(res.inlier_fraction))
-                    self.keyframe = cur
-                    self.world_from_key = self.world_from_cam.copy()
-                    self._rel_init = jnp.eye(4, dtype=jnp.float32)
-            extrinsic = jnp.asarray(np.linalg.inv(self.world_from_cam), jnp.float32)
-            # donated integrate: the grid updates in place instead of
-            # allocating a fresh ~R^3 volume every frame
-            with self.timer.stage("integrate"):
-                self.volume = _tsdf.integrate_donated(
-                    self.volume, cur.depth, self.intrinsics, extrinsic,
-                    color=cur.color, depth_trunc=cfg.depth_trunc)
+                depth = self.depth_filters(depth)
+            eye = jnp.eye(4, dtype=jnp.float32)
+            self.volume = _tsdf.integrate_donated(
+                self.volume, depth, self.intrinsics, eye,
+                color=color if cfg.color else None,
+                depth_trunc=cfg.depth_trunc)
+            # distinct buffers: the jitted step donates the whole state, and
+            # XLA rejects donating one buffer through several tree leaves
+            self._state = _TrackState(
+                world_from_cam=jnp.eye(4, dtype=jnp.float32),
+                world_from_key=jnp.eye(4, dtype=jnp.float32),
+                rel_init=jnp.eye(4, dtype=jnp.float32),
+                key_color=color, key_depth=depth,
+                failures=jnp.zeros((), jnp.int32),
+                last_inliers=jnp.ones(()), last_success=jnp.asarray(True))
+            self.trajectory.append(eye)
+        else:
+            if self._step is None:
+                self._step = self._build_step(cfg)
+            with self.timer.stage("fuse_step"):
+                self.volume, self._state, wfc = self._step(
+                    self.volume, self._state, color, depth)
                 if self._profile:
-                    self.timer.sync(self.volume.weight)
-            self.trajectory.append(self.world_from_cam.copy())
-            self.prev = cur
-            self.frames_integrated += 1
+                    self.timer.sync(wfc)
+                    if not bool(self._state.last_success):
+                        self.logger.warning(
+                            "odometry failed (inliers %.2f); reusing last "
+                            "pose", float(self._state.last_inliers))
+            self.trajectory.append(wfc)
+        self.frames_integrated += 1
 
     def start(self):
         self.camera.open()
@@ -189,6 +253,12 @@ class StreamingFusion:
         self.stop_event.set()
         for t in self._threads:
             t.join(timeout=60.0)
+        # deferred failure reporting: the consumer path never syncs, so the
+        # per-run summary reads the device counter once here
+        nf = self.odometry_failures
+        if nf:
+            self.logger.warning("%d odometry failures over %d frames",
+                                nf, self.frames_integrated)
 
     def extract_mesh(self):
         mesh = _marching.extract_triangle_mesh(self.volume)
