@@ -24,8 +24,9 @@ the occupied bounding box in windows and concatenates.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,8 @@ import numpy as np
 
 from recon3d_tpu.fusion.tsdf import TSDFVolume
 from recon3d_tpu.utils.types import CameraIntrinsics
+
+logger = logging.getLogger("recon3d_tpu.fusion.scalable")
 
 EMPTY = jnp.int32(-1)
 _KEY_BIAS = 512  # brick coords in [-512, 512) pack into 10 bits each
@@ -198,6 +201,86 @@ def _allocate(vol: ScalableTSDFVolume, cand_keys: jax.Array,
                                n_alloc=n_alloc, n_dropped=n_drop)
 
 
+@partial(jax.jit, static_argnames=("table_size", "probes"))
+def _rebuild_table(brick_keys: jax.Array, table_size: int,
+                   probes: int = 8) -> jax.Array:
+    """Rebuild the hash table for an existing (unique-key) brick pool —
+    the rehash step of grow(). Same deterministic scatter-min claim rounds
+    as _allocate, but mapping slots to the bricks' EXISTING pool indices."""
+    T = table_size
+    K = brick_keys.shape[0]
+    keys = jnp.where(brick_keys >= 0, brick_keys, _KEY_EMPTY)
+    idxs = jnp.arange(K, dtype=jnp.int32)
+    table = jnp.full((T,), EMPTY)
+    unresolved = keys < _KEY_EMPTY
+    for p in range(probes):
+        slot = (_hash(keys, T) + p) & (T - 1)
+        free = unresolved & (table[slot] < 0)
+        claim = jnp.full((T,), _KEY_EMPTY).at[
+            jnp.where(free, slot, T - 1)].min(
+            jnp.where(free, keys, _KEY_EMPTY))
+        won = free & (claim[slot] == keys)
+        table = table.at[jnp.where(won, slot, T)].set(
+            jnp.where(won, idxs, EMPTY), mode="drop")
+        unresolved = unresolved & ~won
+    return table
+
+
+def grow(vol: ScalableTSDFVolume, capacity: Optional[int] = None,
+         table_size: Optional[int] = None) -> ScalableTSDFVolume:
+    """Return a volume with a larger brick pool (default 2x) and a rehashed
+    table; existing bricks keep their pool indices, so TSDF contents are
+    untouched. Also clears n_dropped (the re-scan after growth re-touches
+    any surface the dropped bricks covered on subsequent frames).
+
+    Static-shape discipline: growth produces a NEW jit cache entry for
+    integrate (the pool shape is part of the program), so callers grow
+    between frames, not per frame — see maybe_grow().
+    """
+    K, B = vol.capacity, vol.brick_size
+    newK = capacity if capacity is not None else 2 * K
+    newT = table_size if table_size is not None else 2 * vol.table.shape[0]
+    assert newK >= K and newT & (newT - 1) == 0
+    pad = [(0, newK - K)]
+
+    def grow_pool(a, fill):
+        return jnp.pad(a, pad + [(0, 0)] * (a.ndim - 1),
+                       constant_values=fill)
+
+    brick_keys = grow_pool(vol.brick_keys, -1)
+    return dataclasses.replace(
+        vol,
+        brick_keys=brick_keys,
+        table=_rebuild_table(brick_keys, newT),
+        tsdf=grow_pool(vol.tsdf, 0.0),
+        weight=grow_pool(vol.weight, 0.0),
+        color=None if vol.color is None else grow_pool(vol.color, 0.0),
+        n_dropped=jnp.int32(0),
+    )
+
+
+def maybe_grow(vol: ScalableTSDFVolume, occupancy_threshold: float = 0.85,
+               max_capacity: int = 1 << 20) -> ScalableTSDFVolume:
+    """Host-side growth policy: call between frames. Doubles the pool when
+    occupancy crosses the threshold or candidate bricks were dropped
+    (logged as a warning — mini1.py:332-356's room sweeps overflow the old
+    fixed 4096-brick pool at ~0.13 m^3). Costs one scalar device read."""
+    n_alloc = int(vol.n_alloc)
+    n_dropped = int(vol.n_dropped)
+    if n_dropped > 0:
+        logger.warning(
+            "scalable TSDF dropped %d candidate bricks (pool %d/%d full) — "
+            "growing", n_dropped, n_alloc, vol.capacity)
+    if (n_dropped > 0 or n_alloc > occupancy_threshold * vol.capacity):
+        if vol.capacity >= max_capacity:
+            if n_dropped > 0:
+                logger.error("scalable TSDF at max capacity %d; dropping "
+                             "bricks", vol.capacity)
+            return vol
+        return grow(vol)
+    return vol
+
+
 @partial(jax.jit, static_argnames=("alloc_stride",))
 def integrate(
     vol: ScalableTSDFVolume,
@@ -337,32 +420,60 @@ def occupied_bounds(vol: ScalableTSDFVolume) -> Tuple[np.ndarray, np.ndarray]:
     return lo.astype(np.float32), hi.astype(np.float32)
 
 
+def occupied_window_origins(vol: ScalableTSDFVolume,
+                            window: int = 256) -> List[np.ndarray]:
+    """World-space origins of the `window`^3 dense blocks that contain at
+    least one allocated brick — computed by walking the BRICK KEYS, not the
+    dense AABB, so sparse scenes (an L-shaped room sweep) only pay for
+    blocks with actual content. Blocks tile on a (window-2)-voxel stride
+    from the occupied min corner (1-voxel overlap keeps cross-block
+    surfaces closed)."""
+    keys = np.asarray(vol.brick_keys)
+    alive = keys >= 0
+    if not alive.any():
+        return []
+    bc = np.asarray(_unpack_key(jnp.asarray(keys[alive])))  # (n, 3)
+    B = vol.brick_size
+    vs = float(vol.voxel_size)
+    org = np.asarray(vol.origin)
+    step_vox = window - 2
+    lo_vox = (bc.min(0)) * B
+    # brick voxel extent [vmin, vmax) relative to the occupied min corner;
+    # a brick can straddle at most two windows per axis (B << window)
+    vmin = bc * B - lo_vox
+    vmax = vmin + B - 1
+    w0 = vmin // step_vox
+    w1 = vmax // step_vox
+    wins = set()
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                sel = np.stack([w0[:, 0] if dx == 0 else w1[:, 0],
+                                w0[:, 1] if dy == 0 else w1[:, 1],
+                                w0[:, 2] if dz == 0 else w1[:, 2]], -1)
+                wins.update(map(tuple, sel.tolist()))
+    base = org + lo_vox * vs
+    return [np.asarray(base + np.asarray(w, np.float64) * step_vox * vs,
+                       np.float32) for w in sorted(wins)]
+
+
 def extract_triangle_mesh(vol: ScalableTSDFVolume, window: int = 256):
-    """Mesh the whole occupied extent: walk the AABB in `window`^3 dense
-    blocks (1-voxel overlap so surfaces crossing block borders stay closed)
-    and run the shared marching extraction on each."""
+    """Mesh the occupied extent: dense-export and march ONLY the occupied
+    `window`^3 blocks (occupied_window_origins — brick-key walk, not a
+    dense AABB sweep), 1-voxel overlap so surfaces crossing block borders
+    stay closed."""
     from recon3d_tpu.fusion import marching as _marching
     from recon3d_tpu.mesh import ops as mops
     from recon3d_tpu.utils.types import TriangleMesh
 
-    lo, hi = occupied_bounds(vol)
-    vs = float(vol.voxel_size)
-    step = (window - 2) * vs
+    lo, _hi = occupied_bounds(vol)
     meshes = []
-    x = lo[0]
-    while x < hi[0]:
-        y = lo[1]
-        while y < hi[1]:
-            z = lo[2]
-            while z < hi[2]:
-                dense = export_dense(vol, jnp.asarray([x, y, z]), window)
-                m = _marching.extract_triangle_mesh(dense)
-                v, t, c, _ = m.to_numpy()
-                if len(t):
-                    meshes.append((v, t, c))
-                z += step
-            y += step
-        x += step
+    for origin in occupied_window_origins(vol, window):
+        dense = export_dense(vol, jnp.asarray(origin), window)
+        m = _marching.extract_triangle_mesh(dense)
+        v, t, c, _ = m.to_numpy()
+        if len(t):
+            meshes.append((v, t, c))
     if not meshes:
         return _marching.extract_triangle_mesh(
             export_dense(vol, jnp.asarray(lo), window))

@@ -113,6 +113,83 @@ class TestRoomScale:
         lo, hi = scalable.occupied_bounds(sc)
         assert hi[0] - lo[0] > 4.0, f"swept extent {hi[0] - lo[0]:.2f} m"
 
+    def test_auto_grow_absorbs_overflow(self):
+        """Start from a deliberately tiny pool; maybe_grow() between frames
+        must absorb a sweep that overflows it: the final state has zero
+        drops, all earlier TSDF content intact, and the swept extent full."""
+        intr = _intr()
+        H, W = 120, 160
+        sc = scalable.make_scalable_volume(voxel_size=0.02, sdf_trunc=0.08,
+                                           brick_size=8, capacity=256,
+                                           table_size=1024,
+                                           origin=(0.0, 0.0, 0.0),
+                                           with_color=False)
+        depth = np.full((H, W), 1.0, np.float32)
+        grew = False
+        for k in range(30):
+            cam_from_world = np.eye(4, dtype=np.float32)
+            cam_from_world[0, 3] = -0.08 * k
+            sc = scalable.integrate(sc, jnp.asarray(depth), intr,
+                                    jnp.asarray(cam_from_world),
+                                    depth_trunc=2.5)
+            before = sc.capacity
+            sc = scalable.maybe_grow(sc)
+            grew = grew or sc.capacity > before
+        # one final settle pass over the same trajectory re-touches any
+        # surface dropped before growth kicked in
+        for k in range(30):
+            cam_from_world = np.eye(4, dtype=np.float32)
+            cam_from_world[0, 3] = -0.08 * k
+            sc = scalable.integrate(sc, jnp.asarray(depth), intr,
+                                    jnp.asarray(cam_from_world),
+                                    depth_trunc=2.5)
+            sc = scalable.maybe_grow(sc)
+        assert grew, "pool never grew"
+        assert sc.capacity > 256
+        assert int(sc.n_dropped) == 0
+        lo, hi = scalable.occupied_bounds(sc)
+        assert hi[0] - lo[0] > 2.0, f"swept extent {hi[0] - lo[0]:.2f} m"
+        # hash table consistent after rehash: every alive brick findable
+        keys = sc.brick_keys[sc.brick_keys >= 0]
+        found = scalable._lookup(sc, keys)
+        assert int((found >= 0).sum()) == int(keys.shape[0])
+
+    def test_sparse_extraction_walks_occupied_windows_only(self):
+        """An L-shaped scene occupies a corner of its AABB: the brick-key
+        walk must visit far fewer windows than the dense AABB sweep."""
+        intr = _intr()
+        sc = scalable.make_scalable_volume(voxel_size=0.02, sdf_trunc=0.08,
+                                           brick_size=8, capacity=8192,
+                                           table_size=32768,
+                                           origin=(0.0, 0.0, 0.0),
+                                           with_color=False)
+        depth = np.full((120, 160), 1.0, np.float32)
+        poses = []
+        for k in range(20):  # leg 1: along +x
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = -0.08 * k
+            poses.append(T)
+        for k in range(20):  # leg 2: along +y from the corner
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = -0.08 * 19
+            T[1, 3] = -0.08 * k
+            poses.append(T)
+        for T in poses:
+            sc = scalable.integrate(sc, jnp.asarray(depth), intr,
+                                    jnp.asarray(T), depth_trunc=2.5)
+        window = 64
+        origins = scalable.occupied_window_origins(sc, window)
+        lo, hi = scalable.occupied_bounds(sc)
+        step = (window - 2) * float(sc.voxel_size)
+        dense_count = int(np.prod(np.ceil((hi - lo) / step).clip(1)))
+        assert len(origins) > 0
+        assert len(origins) < dense_count, (
+            f"sparse walk {len(origins)} vs dense {dense_count}")
+        mesh = scalable.extract_triangle_mesh(sc, window=window)
+        verts, tris, _, _ = mesh.to_numpy()
+        assert len(tris) > 500
+        assert np.isfinite(verts).all()
+
     def test_weight_cap_keeps_moving_average(self):
         intr = _intr()
         sc = scalable.make_scalable_volume(voxel_size=0.02, sdf_trunc=0.08,
