@@ -30,16 +30,37 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 
 
-def _synthetic_maps(H, W):
-    """Mild rectification-like warp: radial distortion + small rotation."""
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+def _forward_xy(x, y, H, W):
+    """The rectification model: rect coords -> raw coords (radial
+    distortion + small rotation + offset)."""
     cx, cy, f = W / 2.0, H / 2.0, 1.2 * W
-    xn, yn = (xx - cx) / f, (yy - cy) / f
+    xn, yn = (x - cx) / f, (y - cy) / f
     scale = 1.0 - 0.06 * (xn ** 2 + yn ** 2)
     ang = 0.006
     mx = cx + f * (scale * xn * np.cos(ang) - yn * np.sin(ang)) + 4.0
     my = cy + f * (scale * yn * np.cos(ang) + xn * np.sin(ang)) - 3.0
+    return mx, my
+
+
+def _synthetic_maps(H, W):
+    """Rectification maps m: remap(raw, mx, my)[y, x] = raw[m(x, y)]."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    mx, my = _forward_xy(xx, yy, H, W)
     return mx.astype(np.float32), my.astype(np.float32)
+
+
+def _inverse_maps(H, W, iters=12):
+    """m^-1 by fixed-point iteration (the warp is a mild contraction):
+    raw = remap(rect, imx, imy) makes remap(raw, mx, my) ~ rect, so the
+    benched pipeline performs a REAL rectification and its output stays
+    comparable to the analytic ground-truth disparity."""
+    vv, uu = np.mgrid[0:H, 0:W].astype(np.float64)
+    x, y = uu.copy(), vv.copy()
+    for _ in range(iters):
+        fx, fy = _forward_xy(x, y, H, W)
+        x += uu - fx
+        y += vv - fy
+    return x.astype(np.float32), y.astype(np.float32)
 
 
 def main():
@@ -60,16 +81,25 @@ def main():
     cam = FakeStereoCamera(width=W, height=H, focal=focal, baseline=baseline)
     rect_l, rect_r, disp_true, _ = cam.render(0)
     mx, my = _synthetic_maps(H, W)
-    # raw images such that remap(raw) is a realistic rectification job;
-    # both our pipeline and the cv2 oracle consume the SAME raw + maps
-    raw_l, raw_r = rect_l.astype(np.float32), rect_r.astype(np.float32)
+    # RAW images = rectified scene pushed through the INVERSE warp, so the
+    # benched remap performs a real rectification: remap(raw) ~ rect and
+    # the full pipeline's output stays comparable to disp_true. (Round 1
+    # warped the rectified pair FORWARD and matched in distorted space,
+    # which breaks epipolar alignment — both matchers then diverge on an
+    # ill-posed problem; that was the bulk of the 2.39 px full-pipeline
+    # divergence the round-1 review flagged.)
+    imx, imy = _inverse_maps(H, W)
+    raw_l = cv2.remap(rect_l.astype(np.float32), imx, imy, cv2.INTER_LINEAR,
+                      borderMode=cv2.BORDER_REPLICATE)
+    raw_r = cv2.remap(rect_r.astype(np.float32), imx, imy, cv2.INTER_LINEAR,
+                      borderMode=cv2.BORDER_REPLICATE)
     plan = build_remap_plan(mx, my)
     # distinct BGR color stream (the aligned color camera's frame,
     # pointcloud_capture.py:40): the benched program converts BGR->RGB and
     # maps it onto the cloud, so the fps includes the real color path
     rng_c = np.random.RandomState(1)
     raw_color = np.stack([
-        np.clip(raw_l * s + rng_c.rand(H, W) * 8.0, 0, 255)
+        np.clip(rect_l * s + rng_c.rand(H, W) * 8.0, 0, 255)
         for s in (0.9, 1.0, 0.8)], axis=-1).astype(np.uint8)  # B, G, R
 
     # the full standard stereoRectify Q form — [0,0]=[1,1]=1 is part of the
@@ -120,7 +150,7 @@ def main():
     # take floats; comparing float-input-ours vs uint8-input-cv2 would
     # measure input quantization, not the matcher)
     to8 = lambda a: np.clip(np.round(a), 0, 255).astype(np.uint8)
-    rect_ours_l, rect_ours_r = to8(raw_l), to8(raw_r)
+    rect_ours_l, rect_ours_r = to8(rect_l), to8(rect_r)
     disp_p, valid_p = sgm_pallas.sgm_disparity_pallas(
         jnp.asarray(rect_ours_l, jnp.float32),
         jnp.asarray(rect_ours_r, jnp.float32),
@@ -150,23 +180,44 @@ def main():
         P1=8 * 25, P2=32 * 25, disp12MaxDiff=1, uniquenessRatio=10,
         speckleWindowSize=50, speckleRange=32, preFilterCap=63, mode=mode3)
 
-    # end-to-end pipelines compared on warped content: ours (two-pass warp
-    # + Pallas SGM) vs cv2's (cv2.remap + SGBM) on the same raw pair + maps.
+    # end-to-end pipelines on the same raw pair + maps: ours (two-pass warp
+    # + Pallas SGM) vs cv2's (cv2.remap + SGBM), BOTH now performing a true
+    # rectification, so both are also scored against the analytic truth and
+    # the divergence decomposes by swapping one stage at a time.
     # Guarded: the full-pipeline cross-check must not lose the headline.
-    rmse_cv_full = None
+    rmse_cv_full = full_ours_truth = full_cv2_truth = None
+    decomp_matcher = decomp_warp = None
     try:
+        def rmse(a, b, m):
+            return round(float(np.sqrt(((a[m] - b[m]) ** 2).mean())), 4)
+
+        def ours_match(l8, r8):
+            dd, vv = sgm_pallas.sgm_disparity_pallas(
+                jnp.asarray(l8, jnp.float32), jnp.asarray(r8, jnp.float32),
+                num_disparities=D, block_size=5, num_directions=3)
+            return np.asarray(dd), np.asarray(vv)
+
         wl = to8(np.asarray(remap_two_pass_pallas(jl, plan)))
         wr = to8(np.asarray(remap_two_pass_pallas(jr, plan)))
-        disp_w, valid_w = sgm_pallas.sgm_disparity_pallas(
-            jnp.asarray(wl, jnp.float32), jnp.asarray(wr, jnp.float32),
-            num_disparities=D, block_size=5, num_directions=3)
-        disp_w, valid_w = np.asarray(disp_w), np.asarray(valid_w)
-        cvl = cv2.remap(raw_l, mx, my, cv2.INTER_LINEAR)
-        cvr = cv2.remap(raw_r, mx, my, cv2.INTER_LINEAR)
-        d_cv_full = sgbm.compute(to8(cvl), to8(cvr)).astype(np.float32) / 16.0
-        both_f = valid_w & (d_cv_full > 0)
-        rmse_cv_full = round(float(np.sqrt(
-            ((disp_w[both_f] - d_cv_full[both_f]) ** 2).mean())), 4)
+        cvl8 = to8(cv2.remap(raw_l, mx, my, cv2.INTER_LINEAR))
+        cvr8 = to8(cv2.remap(raw_r, mx, my, cv2.INTER_LINEAR))
+
+        d_ours_full, v_ours_full = ours_match(wl, wr)      # our warp+matcher
+        d_cv_full = sgbm.compute(cvl8, cvr8).astype(np.float32) / 16.0
+        both_f = v_ours_full & (d_cv_full > 0)
+        rmse_cv_full = rmse(d_ours_full, d_cv_full, both_f)
+        tm = v_ours_full & (disp_true > 1.0)
+        full_ours_truth = rmse(d_ours_full, disp_true, tm)
+        tm = (d_cv_full > 0) & (disp_true > 1.0)
+        full_cv2_truth = rmse(d_cv_full, disp_true, tm)
+
+        # decomposition: swap one stage at a time against cv2-full
+        d_sw, v_sw = ours_match(cvl8, cvr8)  # cv2 warp -> OUR matcher
+        m = v_sw & (d_cv_full > 0)
+        decomp_matcher = rmse(d_sw, d_cv_full, m)  # matcher-induced
+        d_wc = sgbm.compute(wl, wr).astype(np.float32) / 16.0  # our warp -> cv2
+        m = (d_wc > 0) & (d_cv_full > 0)
+        decomp_warp = rmse(d_wc, d_cv_full, m)     # warp-induced
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# full-pipeline cross-check skipped: {type(e).__name__}",
               flush=True)
@@ -263,6 +314,10 @@ def main():
             "rmse_vs_cv2_sgbm_px": round(rmse_cv, 4),
             "rmse_vs_cv2_sgbm_5path_px": round(rmse_cv_default, 4),
             "rmse_vs_cv2_full_pipeline_px": rmse_cv_full,
+            "full_ours_vs_truth_px": full_ours_truth,
+            "full_cv2_vs_truth_px": full_cv2_truth,
+            "full_decomp_matcher_px": decomp_matcher,
+            "full_decomp_warp_px": decomp_warp,
             "rmse_vs_analytic_truth_px": round(rmse_truth, 4),
             "both_valid_frac": round(float(both.mean()), 3),
             "voxel_downsample_10m_ms": ms_vd10m,

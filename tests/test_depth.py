@@ -76,6 +76,34 @@ class TestSGM:
         rmse = np.sqrt(((disp[both] - d_cv[both]) ** 2).mean())
         assert rmse < 0.5, f"RMSE vs cv2 SGBM {rmse:.3f} px"
 
+    def test_direction_count_accuracy_waiver(self, stereo_pair):
+        """Measured justification for the Pallas fast path stopping at 3/4
+        directions (the reference's production mode is 3-way,
+        depth4.py:157-170; cv2 MODE_HH's 8 paths run on the XLA twin only).
+
+        Measured on this fixture (320x240/D=64): truth-RMSE sgm3 0.441,
+        sgm4 0.431, sgm8 0.418 px — the 8-direction mode buys < 0.03 px
+        over the fast path's direction sets, while cv2 MODE_HH itself
+        scores 0.848 px against the same ground truth. The asserted bound
+        keeps the waiver honest if the matcher regresses."""
+        gl, gr, disp_true, _ = stereo_pair
+        rt = {}
+        for nd in (3, 4, 8):
+            d, v = sgm.sgm_disparity(
+                jnp.asarray(gl, jnp.float32), jnp.asarray(gr, jnp.float32),
+                num_disparities=64, block_size=5, num_directions=nd)
+            d, v = np.asarray(d), np.asarray(v)
+            m = v & (disp_true > 0)
+            rt[nd] = np.sqrt(((d[m] - disp_true[m]) ** 2).mean())
+        assert rt[8] <= rt[4] + 1e-3 and rt[8] <= rt[3] + 1e-3, rt
+        assert rt[3] - rt[8] < 0.1, f"sgm3 gives up {rt[3]-rt[8]:.3f} px"
+        assert rt[4] - rt[8] < 0.05, f"sgm4 gives up {rt[4]-rt[8]:.3f} px"
+        # and every mode beats cv2's own 8-path matcher against truth
+        d_cv = _cv_sgbm().compute(gl, gr).astype(np.float32) / 16.0
+        mt = (d_cv > 0) & (disp_true > 0)
+        rmse_cv = np.sqrt(((d_cv[mt] - disp_true[mt]) ** 2).mean())
+        assert max(rt.values()) < rmse_cv, (rt, rmse_cv)
+
     def test_golden_frame_texture_parity(self, golden_pair):
         gray, right, disp_true = golden_pair
         disp, valid = sgm.sgm_disparity(
