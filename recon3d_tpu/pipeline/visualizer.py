@@ -100,6 +100,160 @@ class GeometryVisualizer:
             self._ax = None
 
 
+class LiveVisualizer3D:
+    """Interactive live 3D window (visualizer.py:14-38 parity without GL).
+
+    Frames are rendered on-device (pipeline.render point splatting +
+    z-buffer) and shown through a cv2 window with trackball-style keyboard
+    orbit: a/d azimuth, w/s elevation, q/e zoom, r reset, ESC close. With
+    no display (or offscreen=True) the window is skipped and `frame` holds
+    the latest rendered image — same initialize/update/capture/destroy
+    lifecycle either way.
+    """
+
+    WINDOW = "recon3d_tpu 3D"
+
+    def __init__(self, width: int = 960, height: int = 720,
+                 focal: Optional[float] = None, offscreen: Optional[bool] = None,
+                 azim: float = 0.0, elev: float = -20.0,
+                 distance: Optional[float] = None):
+        self.width = width
+        self.height = height
+        self.focal = focal if focal is not None else 0.9 * width
+        self.offscreen = (not os.environ.get("DISPLAY")
+                          if offscreen is None else offscreen)
+        self._azim0, self._elev0, self._dist0 = azim, elev, distance
+        self.azim, self.elev, self.distance = azim, elev, distance
+        self.target: Optional[np.ndarray] = None
+        self.frame: Optional[np.ndarray] = None
+        self._open = False
+
+    def initialize(self) -> None:
+        if not self.offscreen:  # pragma: no cover - needs a display
+            import cv2
+
+            try:
+                cv2.namedWindow(self.WINDOW, cv2.WINDOW_AUTOSIZE)
+            except Exception:
+                self.offscreen = True
+        self._open = True
+
+    def _fit(self, pts: np.ndarray) -> None:
+        if self.target is None:
+            self.target = pts.mean(0)
+        if self.distance is None:
+            extent = float(np.linalg.norm(pts.max(0) - pts.min(0)) + 1e-6)
+            self.distance = 1.6 * extent
+
+    def update(self, geometry) -> bool:
+        """Render + present one frame. Returns False once the window was
+        closed (ESC), mirroring Visualizer.poll_events()."""
+        import jax.numpy as jnp
+
+        from recon3d_tpu.pipeline.render import orbit_view, render_points
+
+        if not self._open:
+            self.initialize()
+        if isinstance(geometry, PointCloud):
+            pts_j, valid = geometry.points, geometry.valid
+            cols = geometry.colors
+            pts = np.asarray(pts_j)[np.asarray(valid)]
+        elif isinstance(geometry, TriangleMesh):
+            pts_j, valid = geometry.vertices, geometry.vertex_valid
+            cols = geometry.vertex_colors
+            pts = np.asarray(pts_j)[np.asarray(valid)]
+        else:
+            raise TypeError(f"cannot visualize {type(geometry)}")
+        if len(pts) == 0:
+            return self._open
+        self._fit(pts)
+        if cols is None:
+            cols = jnp.full((pts_j.shape[0], 3), 0.75, jnp.float32)
+        view = jnp.asarray(orbit_view(self.target, self.distance,
+                                      self.azim, self.elev))
+        img = render_points(pts_j, cols, valid, view, self.focal,
+                            height=self.height, width=self.width)
+        self.frame = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+        if not self.offscreen:  # pragma: no cover - needs a display
+            import cv2
+
+            cv2.imshow(self.WINDOW, self.frame[..., ::-1])  # RGB -> BGR
+            self.handle_key(cv2.waitKey(1) & 0xFF)
+        return self._open
+
+    def handle_key(self, key: int) -> None:
+        """Keyboard trackball (also drivable headless, for tests)."""
+        if key in (27,):  # ESC
+            self.destroy()
+        elif key == ord("a"):
+            self.azim -= 10.0
+        elif key == ord("d"):
+            self.azim += 10.0
+        elif key == ord("w"):
+            self.elev = max(self.elev - 10.0, -89.0)
+        elif key == ord("s"):
+            self.elev = min(self.elev + 10.0, 89.0)
+        elif key == ord("q") and self.distance:
+            self.distance *= 1.2
+        elif key == ord("e") and self.distance:
+            self.distance /= 1.2
+        elif key == ord("r"):
+            self.azim, self.elev = self._azim0, self._elev0
+            self.distance, self.target = self._dist0, None
+
+    def capture(self, path: str) -> str:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        from PIL import Image
+
+        Image.fromarray(self.frame).save(path)
+        return path
+
+    def destroy(self) -> None:
+        if self._open and not self.offscreen:  # pragma: no cover
+            import cv2
+
+            try:
+                cv2.destroyWindow(self.WINDOW)
+            except Exception:
+                pass
+        self._open = False
+
+
+def live_remesh_loop(scanner, visualizer, frames: int,
+                     remesh_every: int = 1, poisson_depth: int = 5):
+    """The reference's full live loop (visualizer.py:71-127): scan, and on
+    every `remesh_every` new frames re-estimate normals, re-run Poisson on
+    the accumulated cloud and push the MESH to the live window. Returns the
+    meshes rendered (most-recent last)."""
+    import time
+
+    from recon3d_tpu.mesh_reconstruction import MeshReconstruction
+    from recon3d_tpu.normal_estimation import NormalEstimation
+
+    normals = NormalEstimation(scanner.config.processing)
+    import dataclasses as _dc
+
+    recon = MeshReconstruction(_dc.replace(scanner.config.mesh,
+                                           poisson_depth=poisson_depth))
+    scanner.start(max_frames=frames)
+    meshes = []
+    last = 0
+    while scanner._thread.is_alive() or scanner.frames > last:
+        if scanner.combined is None or scanner.frames < last + remesh_every:
+            if not scanner._thread.is_alive():
+                break
+            time.sleep(0.1)
+            continue
+        last = scanner.frames
+        pc = normals.estimate_normals(scanner.combined)
+        mesh, densities = recon.reconstruct_mesh(pc)
+        meshes.append(mesh)
+        if not visualizer.update(mesh):
+            break  # window closed -> stop like the reference loop
+    scanner.stop()
+    return meshes
+
+
 def scanning_loop_with_vis(scanner, visualizer: "GeometryVisualizer",
                            frames: int, snapshot_every: int = 10,
                            out_dir: str = "vis"):
