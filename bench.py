@@ -242,7 +242,11 @@ def main():
         pc10m = PointCloud(points=jnp.asarray(rng.rand(10_000_000, 3),
                                               jnp.float32),
                            valid=jnp.ones((10_000_000,), bool))
-        vd = jax.jit(lambda p: voxel_downsample(p, 0.05))
+        # explicit output capacity: the unit cube at voxel 0.05 holds at
+        # most 21^3 ~ 9.3k occupied voxels; the old default (capacity=N)
+        # made the compact buffers 10M wide, which is what OOM-killed the
+        # round-1 remote compile helper
+        vd = jax.jit(lambda p: voxel_downsample(p, 0.05, capacity=1 << 14))
         _ = float(jnp.sum(vd(pc10m).valid))
         t0 = time.perf_counter()
         for _i in range(3):

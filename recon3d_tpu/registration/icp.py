@@ -92,13 +92,23 @@ def _p2plane_step(src_pts, src_valid, tgt, threshold):
     return dT, w, d2
 
 
-def _gicp_step(src_pts, src_valid, src_cov, tgt, tgt_cov, threshold):
-    """Generalized-ICP step: Mahalanobis plane-to-plane (GICP1.py:99-103)."""
+def _gicp_step(src_pts, src_valid, src_cov, tgt, tgt_cov, threshold,
+               R=None):
+    """Generalized-ICP step: Mahalanobis plane-to-plane (GICP1.py:99-103).
+
+    R: the CURRENT total rotation estimate (3, 3). The combined covariance
+    is C_tgt + R C_src R^T — source covariances were computed in the source
+    frame, so they must ride the running rotation (Segal et al. eq. 2;
+    skipping this, as round 1 did, biases the Mahalanobis weights whenever
+    the total rotation is far from identity even though each STEP is
+    small)."""
     idx, d2, ok = _correspondences(src_pts, src_valid, tgt, threshold)
     q = tgt.points[idx]
     Cb = tgt_cov[idx]
     w = ok.astype(jnp.float32)
-    M = Cb + src_cov  # current-estimate combined covariance (R ~ I locally)
+    if R is not None:
+        src_cov = jnp.einsum("ij,njk,lk->nil", R, src_cov, R)
+    M = Cb + src_cov
     Minv = jnp.linalg.inv(M + 1e-9 * jnp.eye(3, dtype=src_pts.dtype))
     r = src_pts - q  # (N, 3)
     # J_i = [I | -hat(p)] (3, 6)
@@ -159,13 +169,14 @@ def registration_icp(
         rmse = jnp.sqrt(jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0))
         return fitness, rmse
 
-    def step_fn(pts):
+    def step_fn(pts, T):
         if method == "point_to_point":
             return _p2p_step(pts, source.valid, target, threshold)
         if method == "point_to_plane":
             return _p2plane_step(pts, source.valid, target, threshold)
         if method == "gicp":
-            return _gicp_step(pts, source.valid, source_cov, target, target_cov, threshold)
+            return _gicp_step(pts, source.valid, source_cov, target,
+                              target_cov, threshold, R=T[:3, :3])
         raise ValueError(f"unknown ICP method {method}")
 
     def cond(state):
@@ -175,7 +186,7 @@ def registration_icp(
     def body(state):
         T, fit, rmse, it, _ = state
         pts = se3.apply(T, source.points)
-        dT, w, d2 = step_fn(pts)
+        dT, w, d2 = step_fn(pts, T)
         T_new = dT @ T
         fit_new, rmse_new = metrics(T_new)
         # Open3D convergence: relative change in fitness AND rmse below eps

@@ -91,6 +91,28 @@ class TestICP:
         err = np.abs(np.asarray(res.transformation) - T_true).max()
         assert err < 2e-3
 
+    def test_gicp_large_total_rotation(self):
+        """The combined covariance must ride the running rotation
+        (C_tgt + R C_src R^T): with a ~30 degree total rotation and a
+        close-but-rotated init, the round-1 'R ~ I' shortcut biases the
+        Mahalanobis weights; the fixed step still converges tightly."""
+        from recon3d_tpu.registration.se3 import se3_exp
+
+        pts = _surface_cloud(seed=4)
+        T_true = np.asarray(se3_exp(jnp.asarray(
+            [0.01, -0.02, 0.015, 0.05, 0.52, 0.1], jnp.float32)))  # ~30 deg
+        T_init = np.asarray(se3_exp(jnp.asarray(
+            [0.0, 0.0, 0.0, 0.06, 0.50, 0.12], jnp.float32)))
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(pts @ T_true[:3, :3].T + T_true[:3, 3])
+        cov_s = covariances_for_gicp(src)
+        cov_t = covariances_for_gicp(tgt)
+        res = registration_icp(src, tgt, threshold=0.1, method="gicp",
+                               init=jnp.asarray(T_init), max_iterations=50,
+                               source_cov=cov_s, target_cov=cov_t)
+        err = np.abs(np.asarray(res.transformation) - T_true).max()
+        assert err < 2e-3, f"large-rotation GICP error {err:.5f}"
+
     def test_quality_gate(self):
         pts = _surface_cloud(seed=3)
         src = PointCloud.from_numpy(pts)
