@@ -175,6 +175,9 @@ def main():
     mode3 = cv2.STEREO_SGBM_MODE_SGBM_3WAY
     rmse_cv, both = rmse_vs(cv_disp(mode3))
     rmse_cv_default, _ = rmse_vs(cv_disp(cv2.STEREO_SGBM_MODE_SGBM))
+    # full 8-path mode: the capability edge the Pallas fast path waives
+    # (tests/test_depth.py::test_direction_count_accuracy_waiver)
+    rmse_cv_hh, _ = rmse_vs(cv_disp(cv2.STEREO_SGBM_MODE_HH))
     sgbm = cv2.StereoSGBM_create(
         minDisparity=0, numDisparities=D, blockSize=5,
         P1=8 * 25, P2=32 * 25, disp12MaxDiff=1, uniquenessRatio=10,
@@ -317,6 +320,7 @@ def main():
             "compile_s": round(compile_s, 1),
             "rmse_vs_cv2_sgbm_px": round(rmse_cv, 4),
             "rmse_vs_cv2_sgbm_5path_px": round(rmse_cv_default, 4),
+            "rmse_vs_cv2_sgbm_hh_px": round(rmse_cv_hh, 4),
             "rmse_vs_cv2_full_pipeline_px": rmse_cv_full,
             "full_ours_vs_truth_px": full_ours_truth,
             "full_cv2_vs_truth_px": full_cv2_truth,

@@ -14,19 +14,27 @@ compiles).
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# RECON3D_TPU_TESTS=1 opts OUT of the CPU pinning so the TPU-gated tests
+# (e.g. test_sgm_pallas.py::TestCompiledStaticChunks) run compiled on the
+# real chip; sharding tests that need the 8-device mesh skip there.
+_ON_TPU = os.environ.get("RECON3D_TPU_TESTS") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
-assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
+if not _ON_TPU:
+    assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"

@@ -26,7 +26,9 @@ N_DEV = 8
 
 @pytest.fixture(scope="module")
 def mesh():
-    assert len(jax.devices()) == N_DEV
+    if len(jax.devices()) != N_DEV:
+        pytest.skip("needs the 8-device virtual CPU mesh (default conftest "
+                    "run; skipped under RECON3D_TPU_TESTS=1)")
     return make_mesh(N_DEV, ("frame",))
 
 

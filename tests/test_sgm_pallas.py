@@ -107,3 +107,30 @@ class TestFastSpeckle:
         exact = np.asarray(sgm.speckle_filter(disp, valid, 32.0, 50))
         agree = (fast == exact).mean()
         assert agree > 0.97, f"fast vs exact speckle agreement {agree:.4f}"
+
+
+class TestCompiledStaticChunks:
+    """TPU-gated: the compiled static-chunks hot path (rolling-box
+    accumulator, right-edge box_out, fused down_sweep) against the XLA
+    oracle. Interpret-mode CPU tests take the dynamic col_body path, so
+    without this the static-chunk code was only checked by the bench RMSE.
+    Run on the real chip: JAX_PLATFORMS=axon pytest tests/test_sgm_pallas.py
+    (the suite's conftest pins CPU, where this skips)."""
+
+    def test_compiled_matches_xla_oracle_on_tpu(self):
+        import jax
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            pytest.skip("needs a real TPU (compiled Mosaic path)")
+        gl, gr, _ = _pair(128, 256)
+        kw = dict(num_disparities=32, block_size=5, uniqueness_ratio=10,
+                  disp12_max_diff=1, speckle_window_size=0)
+        d_x, v_x = sgm.sgm_disparity(gl, gr, **kw)
+        d_p, v_p = sgm_pallas.sgm_disparity_pallas(gl, gr, **kw)  # compiled
+        d_x, v_x, d_p, v_p = map(np.asarray, (d_x, v_x, d_p, v_p))
+        assert (v_x == v_p).mean() == 1.0
+        both = (v_x > 0) & (v_p > 0)
+        reg = np.zeros_like(both)
+        reg[:, 32 + 2:] = True
+        assert np.abs(d_x - d_p)[both & reg].max() < 1e-3
+        assert np.abs(d_x - d_p)[both].max() < 0.2
