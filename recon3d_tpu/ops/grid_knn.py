@@ -193,11 +193,17 @@ def grid_pca_moments(
         d2 = jnp.sum(diff * diff, axis=2)  # (Cq, Cc, G^3)
         w = ((d2 <= r2) & coccf[None] & occupied[:, None]).astype(jnp.float32)
         cnt = cnt + jnp.sum(w, axis=1)
-        s1 = s1 + jnp.einsum("cjg,jdg->cdg", w, candf)
+        # precision pin: these contractions lower to dot_general, which on
+        # TPU defaults to bf16 passes — a ~0.3% relative error comparable
+        # to the covariance signal itself at small radii (the Pallas twin
+        # in grid_knn_pallas.py is plain f32 madds and needs no pin)
+        s1 = s1 + jnp.einsum("cjg,jdg->cdg", w, candf,
+                             precision=jax.lax.Precision.HIGHEST)
         px, py, pz = candf[:, 0], candf[:, 1], candf[:, 2]
         sec = jnp.stack([px * px, py * py, pz * pz,
                          px * py, px * pz, py * pz], axis=1)  # (Cc, 6, G^3)
-        s2 = s2 + jnp.einsum("cjg,jdg->cdg", w, sec)
+        s2 = s2 + jnp.einsum("cjg,jdg->cdg", w, sec,
+                             precision=jax.lax.Precision.HIGHEST)
 
     # back to slot-major (slot id = cell*C + rank), then to original order
     cnt_s = cnt.T.reshape(-1)  # (G^3, C) -> flat cell*C + rank

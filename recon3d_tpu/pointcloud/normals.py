@@ -58,6 +58,47 @@ def _smallest_eigvec_3x3(C: jax.Array) -> jax.Array:
     return jnp.where(norm > 1e-12, v / jnp.maximum(norm, 1e-12), fallback)
 
 
+def _smallest_eigvec_cov6(cov6: jax.Array) -> jax.Array:
+    """Channelwise twin of _smallest_eigvec_3x3 for (N, 6) covariances
+    [xx, yy, zz, xy, xz, yz]: every quantity stays an (N,) vector, so there
+    are no (N, 3, 3) layout reshuffles, stacks or take_along_axis gathers
+    on the 1M-point path (those cost more than the eigen-solve itself)."""
+    xx, yy, zz = cov6[:, 0], cov6[:, 1], cov6[:, 2]
+    xy, xz, yz = cov6[:, 3], cov6[:, 4], cov6[:, 5]
+    q = (xx + yy + zz) / 3.0
+    bxx, byy, bzz = xx - q, yy - q, zz - q
+    p2 = (bxx * bxx + byy * byy + bzz * bzz
+          + 2.0 * (xy * xy + xz * xz + yz * yz)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = (bxx * (byy * bzz - yz * yz)
+            - xy * (xy * bzz - yz * xz)
+            + xz * (xy * yz - byy * xz))
+    r = jnp.clip(detB / (2.0 * p ** 3 + 1e-30), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    axx, ayy, azz = xx - lam, yy - lam, zz - lam
+    # rows of (C - lam I): r0=(axx,xy,xz) r1=(xy,ayy,yz) r2=(xz,yz,azz)
+    c01 = (xy * yz - xz * ayy, xz * xy - axx * yz, axx * ayy - xy * xy)
+    c02 = (xy * azz - xz * yz, xz * xz - axx * azz, axx * yz - xy * xz)
+    c12 = (ayy * azz - yz * yz, yz * xz - xy * azz, xy * yz - ayy * xz)
+    n01 = c01[0] ** 2 + c01[1] ** 2 + c01[2] ** 2
+    n02 = c02[0] ** 2 + c02[1] ** 2 + c02[2] ** 2
+    n12 = c12[0] ** 2 + c12[1] ** 2 + c12[2] ** 2
+    use02 = n02 > n01
+    best0 = jnp.maximum(n01, n02)
+    use12 = n12 > best0
+    vx = jnp.where(use12, c12[0], jnp.where(use02, c02[0], c01[0]))
+    vy = jnp.where(use12, c12[1], jnp.where(use02, c02[1], c01[1]))
+    vz = jnp.where(use12, c12[2], jnp.where(use02, c02[2], c01[2]))
+    norm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    ok = norm > 1e-12
+    inv = 1.0 / jnp.maximum(norm, 1e-12)
+    return jnp.stack([jnp.where(ok, vx * inv, 0.0),
+                      jnp.where(ok, vy * inv, 0.0),
+                      jnp.where(ok, vz * inv, 1.0)], -1)
+
+
 @partial(jax.jit, static_argnames=("max_nn", "grid_size", "cell_capacity"))
 def estimate_normals(
     pc: PointCloud,
@@ -76,17 +117,27 @@ def estimate_normals(
     normal_estimation.py:19-21, was the 10M-point scale target)."""
     if pc.capacity > 32768:
         # moment-accumulation path: neighborhoods within `radius` are
-        # folded directly into count/mean/covariance in a lane-efficient
-        # voxel-grid layout (ops.grid_knn.grid_pca_moments) — no neighbor
-        # index lists, so 1M+ points fit comfortably on-chip. Includes the
-        # query point itself (Open3D's KNN does too); grid coverage is
-        # grid_size * radius per axis from the cloud's min corner.
-        from recon3d_tpu.ops.grid_knn import grid_pca_moments
+        # folded directly into count/mean/covariance — no neighbor index
+        # lists, so 1M+ points fit comfortably on-chip. Includes the query
+        # point itself (Open3D's KNN does too); grid coverage is
+        # grid_size * radius per axis from the cloud's min corner. On TPU
+        # the Pallas slab kernel runs (VMEM-resident accumulation); the
+        # XLA roll/einsum twin covers other backends.
+        if jax.default_backend() == "tpu":
+            from recon3d_tpu.ops.grid_knn_pallas import grid_pca_moments_pallas
 
-        _, _, C = grid_pca_moments(pc.points, pc.valid, radius,
-                                   grid_size=grid_size,
-                                   cell_capacity=cell_capacity)
-        normals = _smallest_eigvec_3x3(C)
+            _, _, cov6 = grid_pca_moments_pallas(pc.points, pc.valid, radius,
+                                                 grid_size=grid_size,
+                                                 cell_capacity=cell_capacity)
+        else:
+            from recon3d_tpu.ops.grid_knn import grid_pca_moments
+
+            _, _, C = grid_pca_moments(pc.points, pc.valid, radius,
+                                       grid_size=grid_size,
+                                       cell_capacity=cell_capacity)
+            cov6 = jnp.stack([C[:, 0, 0], C[:, 1, 1], C[:, 2, 2],
+                              C[:, 0, 1], C[:, 0, 2], C[:, 1, 2]], -1)
+        normals = _smallest_eigvec_cov6(cov6)
         return dataclasses.replace(pc, normals=normals)
     idx, d2, ok = _knn.hybrid_knn(pc.points, pc.valid, radius, max_nn=max_nn)
     nbrs = pc.points[idx]  # (N, K, 3)

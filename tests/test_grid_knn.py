@@ -110,3 +110,47 @@ class TestGridMoments:
         cos = np.abs(np.sum(ng * na, 1))[interior]
         assert np.median(cos) > 0.97, f"median |cos| {np.median(cos):.4f}"
         assert (cos > 0.9).mean() > 0.9
+
+
+class TestGridMomentsPallas:
+    """The TPU Pallas slab kernel (ops.grid_knn_pallas) against the XLA
+    twin, interpret mode on CPU — the production large-N normals path."""
+
+    def test_matches_xla_twin(self):
+        import jax.numpy as jnp
+
+        from recon3d_tpu.ops import grid_knn as gk
+        from recon3d_tpu.ops.grid_knn_pallas import grid_pca_moments_pallas
+
+        rng = np.random.RandomState(7)
+        pts = jnp.asarray(rng.rand(3000, 3) * 0.7, jnp.float32)
+        valid = jnp.asarray(rng.rand(3000) > 0.05)
+        kw = dict(grid_size=16, cell_capacity=8)
+        n0, m0, c0 = gk.grid_pca_moments(pts, valid, 0.05, **kw)
+        n1, m1, c6 = grid_pca_moments_pallas(pts, valid, 0.05,
+                                             interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(n1), np.asarray(n0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-5)
+        c0 = np.asarray(c0)
+        want6 = np.stack([c0[:, 0, 0], c0[:, 1, 1], c0[:, 2, 2],
+                          c0[:, 0, 1], c0[:, 0, 2], c0[:, 1, 2]], -1)
+        np.testing.assert_allclose(np.asarray(c6), want6, atol=1e-5)
+
+    def test_channelwise_eig_matches_matrix_eig(self):
+        import jax.numpy as jnp
+
+        from recon3d_tpu.pointcloud.normals import (_smallest_eigvec_3x3,
+                                                    _smallest_eigvec_cov6)
+
+        rng = np.random.RandomState(3)
+        # random symmetric PSD matrices with planar anisotropy
+        A = rng.randn(500, 3, 3).astype(np.float32) * 0.1
+        C = A @ A.transpose(0, 2, 1) + 1e-4 * np.eye(3, dtype=np.float32)
+        v_m = np.asarray(_smallest_eigvec_3x3(jnp.asarray(C)))
+        cov6 = jnp.asarray(np.stack([C[:, 0, 0], C[:, 1, 1], C[:, 2, 2],
+                                     C[:, 0, 1], C[:, 0, 2], C[:, 1, 2]], -1))
+        v_c = np.asarray(_smallest_eigvec_cov6(cov6))
+        # same direction up to sign
+        dots = np.abs(np.sum(v_m * v_c, -1))
+        assert np.median(dots) > 0.99999
+        assert (dots > 0.999).mean() > 0.99
