@@ -40,8 +40,8 @@ def _mk_kernel(G: int, C: int):
     GG = G * G
 
     def kernel(r2_ref, prev_ref, cur_ref, nxt_ref, pocc_ref, cocc_ref,
-               nocc_ref, cnt_ref, s1_ref, s2_ref, cand_s, occ_s,
-               acc_cnt, acc_s1, acc_s2):
+               nocc_ref, cnt_ref, s1_ref, s2_ref,
+               cand_s, occ_s, acc_cnt, acc_s1, acc_s2):
         x = pl.program_id(0)
         r2 = r2_ref[0]  # SMEM scalar: radius stays a traced value upstream
         q = cur_ref[0]          # (C, 3, GG)
@@ -51,8 +51,6 @@ def _mk_kernel(G: int, C: int):
         iy = ig // G
         iz = ig % G
 
-        # accumulate IN the VMEM scratch refs: fori_loop-carried values of
-        # this size spill/reload every iteration, which dominated runtime
         acc_cnt[...] = jnp.zeros((C, GG), jnp.float32)
         acc_s1[...] = jnp.zeros((C, 3, GG), jnp.float32)
         acc_s2[...] = jnp.zeros((C, 6, GG), jnp.float32)
@@ -82,13 +80,19 @@ def _mk_kernel(G: int, C: int):
                     if dx != 0:
                         edge = edge & xok
                     edgef = edge.astype(jnp.float32)  # (1, GG)
-                    # stage rolled candidates in scratch: the fori_loop
-                    # needs dynamic indexing, which refs support
+
+                    # Accumulation shape, measured at G=64/C=16/1M on a
+                    # v5e: per-candidate fori with in-place scratch += (this
+                    # form) runs the kernel in ~108 ms; carrying the
+                    # accumulators as fori values spills them every
+                    # iteration (~100 ms slower end to end); chunked
+                    # value-partials (+= per 4 candidates) spill the
+                    # chains (282 ms); fully unrolling all 27x16 chains
+                    # blows Mosaic's scoped allocator (1.34 GB live).
                     cand_s[...] = cand
                     occ_s[...] = co2[:, None]
 
                     def body(cc, _):
-                        # keepdims slicing: stay 2-D throughout (Mosaic)
                         px = cand_s[cc, 0:1]                    # (1, GG)
                         py = cand_s[cc, 1:2]
                         pz = cand_s[cc, 2:3]
@@ -159,7 +163,7 @@ def moments_pallas_core(tg, occ, r2, G, C, interpret=False):
                         pltpu.VMEM((C, 3, GG), jnp.float32),
                         pltpu.VMEM((C, 6, GG), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(r2v, tg, tg, tg, occ, occ, occ)
     return out
@@ -177,6 +181,7 @@ def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
     """
     p = jnp.asarray(points, jnp.float32)
     G, C = grid_size, cell_capacity
+    assert C % 4 == 0, "cell_capacity must be a multiple of 4 (chunked loop)"
     if bin_fn is None:
         bin_fn = gk._bin_points
     table, _, point_slot, _ = bin_fn(p, valid, radius, G, C)
@@ -189,22 +194,29 @@ def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
 
     cnt, s1, s2 = moments_pallas_core(tg, occf.astype(jnp.float32),
                                       radius * radius, G, C, interpret)
-    # back to slot order: slot = ((x*G+y)*G+z)*C + c
-    cnt_s = jnp.transpose(cnt.reshape(G, C, G * G), (0, 2, 1)).reshape(-1)
-    s1_s = jnp.transpose(s1.reshape(G, C, 3, G * G),
-                         (0, 3, 1, 2)).reshape(-1, 3)
-    s2_s = jnp.transpose(s2.reshape(G, C, 6, G * G),
-                         (0, 3, 1, 2)).reshape(-1, 6)
+    # Read results back by gathering DIRECTLY from the kernel's native
+    # (G, C, k, GG) layout — no 100+ MB output transposes. Per-point
+    # coordinates into that layout from slot = (x*GG + g)*C + c:
+    GG = G * G
     slot = jnp.maximum(point_slot, 0)
     has = point_slot >= 0
-    n = jnp.where(has, cnt_s[slot], 0.0)
-    nn = jnp.maximum(n, 1.0)[:, None]
-    mean = s1_s[slot] / nn
-    m2 = s2_s[slot] / nn
-    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
-    cov6 = jnp.stack([m2[:, 0] - mx * mx, m2[:, 1] - my * my,
-                      m2[:, 2] - mz * mz, m2[:, 3] - mx * my,
-                      m2[:, 4] - mx * mz, m2[:, 5] - my * mz], -1)
+    cell = slot // C
+    c = slot % C
+    x = cell // GG
+    g = cell % GG
+    base = x * C + c
+    cnt_f = cnt.reshape(-1)
+    s1_f = s1.reshape(-1)
+    s2_f = s2.reshape(-1)
+    n = jnp.where(has, cnt_f[base * GG + g], 0.0)
+    nn = jnp.maximum(n, 1.0)
+    m1 = [s1_f[(base * 3 + j) * GG + g] / nn for j in range(3)]
+    m2 = [s2_f[(base * 6 + j) * GG + g] / nn for j in range(6)]
+    mx, my, mz = m1
+    mean = jnp.stack(m1, -1)
+    cov6 = jnp.stack([m2[0] - mx * mx, m2[1] - my * my,
+                      m2[2] - mz * mz, m2[3] - mx * my,
+                      m2[4] - mx * mz, m2[5] - my * mz], -1)
     return n, mean, cov6
 
 

@@ -52,7 +52,7 @@ class TestGridKNN:
     def test_invalid_points_excluded(self):
         pts, valid = _cloud(512)
         res = grid_knn(jnp.asarray(pts), jnp.asarray(valid), 0.1, k=5,
-                       grid_size=16, cell_capacity=32)
+                       grid_size=16, cell_capacity=64)
         gi, gd = np.asarray(res.indices), np.asarray(res.sq_dists)
         found = gd < 1e29
         assert valid[gi[found]].all(), "an invalid point appeared as neighbor"
@@ -152,5 +152,39 @@ class TestGridMomentsPallas:
         v_c = np.asarray(_smallest_eigvec_cov6(cov6))
         # same direction up to sign
         dots = np.abs(np.sum(v_m * v_c, -1))
+        assert np.median(dots) > 0.99999
+        assert (dots > 0.999).mean() > 0.99
+
+    def test_slot_space_normals_match_point_space(self):
+        """The TPU fast path (eig in slot space, 3-channel readback) must
+        agree with the point-space moments+eig route."""
+        import jax.numpy as jnp
+
+        from recon3d_tpu.ops import grid_knn as gk
+        from recon3d_tpu.pointcloud.normals import (_grid_normals_pallas,
+                                                    _smallest_eigvec_cov6)
+
+        rng = np.random.RandomState(11)
+        # a surface-like cloud: neighborhoods are planar, so the smallest
+        # eigenvector is well-conditioned (isolated random points have
+        # degenerate covariances whose eigvec flips on summation-order
+        # noise between the two implementations — not a real difference)
+        n = 8000
+        xy = rng.rand(n, 2).astype(np.float32) * 0.7
+        z = 0.03 * np.sin(8 * xy[:, 0]) + 0.01 * rng.randn(n).astype(np.float32)
+        pts = jnp.asarray(np.stack([xy[:, 0], xy[:, 1], z], 1))
+        valid = jnp.asarray(rng.rand(n) > 0.05)
+        n_cnt, _, _ = gk.grid_pca_moments(pts, valid, 0.05, grid_size=16,
+                                          cell_capacity=64)
+        nrm_fast = np.asarray(_grid_normals_pallas(pts, valid, 0.05, 16, 64,
+                                                   interpret=True))
+        C = gk.grid_pca_moments(pts, valid, 0.05, grid_size=16,
+                                cell_capacity=64)[2]
+        cov6 = jnp.stack([C[:, 0, 0], C[:, 1, 1], C[:, 2, 2],
+                          C[:, 0, 1], C[:, 0, 2], C[:, 1, 2]], -1)
+        nrm_ref = np.asarray(_smallest_eigvec_cov6(cov6))
+        well = np.asarray(n_cnt) >= 5
+        assert well.mean() > 0.8
+        dots = np.abs(np.sum(nrm_fast * nrm_ref, -1))[well]
         assert np.median(dots) > 0.99999
         assert (dots > 0.999).mean() > 0.99
