@@ -194,6 +194,18 @@ def main():
         def rmse(a, b, m):
             return round(float(np.sqrt(((a[m] - b[m]) ** 2).mean())), 4)
 
+        # geometrically valid interior: the radial warp displaces up to
+        # ~45 px at the 1080p corners, so a border strip of the
+        # doubly-warped images holds replicate-padded junk that matchers
+        # may mark valid — real rectified outputs carry the same invalid
+        # margins and consumers crop them. All full-pipeline metrics
+        # compare inside the margin.
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        m_x = int(np.ceil(np.abs(mx - xx).max())) + 2
+        m_y = int(np.ceil(np.abs(my - yy).max())) + 2
+        interior = np.zeros((H, W), bool)
+        interior[m_y:H - m_y, m_x + D:W - m_x] = True  # +D: SGM left band
+
         def ours_match(l8, r8):
             dd, vv = sgm_pallas.sgm_disparity_pallas(
                 jnp.asarray(l8, jnp.float32), jnp.asarray(r8, jnp.float32),
@@ -207,27 +219,34 @@ def main():
 
         d_ours_full, v_ours_full = ours_match(wl, wr)      # our warp+matcher
         d_cv_full = sgbm.compute(cvl8, cvr8).astype(np.float32) / 16.0
-        both_f = v_ours_full & (d_cv_full > 0)
+        both_f = v_ours_full & (d_cv_full > 0) & interior
         rmse_cv_full = rmse(d_ours_full, d_cv_full, both_f)
-        tm = v_ours_full & (disp_true > 1.0)
+        tm = v_ours_full & (disp_true > 1.0) & interior
         full_ours_truth = rmse(d_ours_full, disp_true, tm)
-        tm = (d_cv_full > 0) & (disp_true > 1.0)
+        tm = (d_cv_full > 0) & (disp_true > 1.0) & interior
         full_cv2_truth = rmse(d_cv_full, disp_true, tm)
 
         # decomposition: swap one stage at a time against cv2-full
         d_sw, v_sw = ours_match(cvl8, cvr8)  # cv2 warp -> OUR matcher
-        m = v_sw & (d_cv_full > 0)
+        m = v_sw & (d_cv_full > 0) & interior
         decomp_matcher = rmse(d_sw, d_cv_full, m)  # matcher-induced
         d_wc = sgbm.compute(wl, wr).astype(np.float32) / 16.0  # our warp -> cv2
-        m = (d_wc > 0) & (d_cv_full > 0)
+        m = (d_wc > 0) & (d_cv_full > 0) & interior
         decomp_warp = rmse(d_wc, d_cv_full, m)     # warp-induced
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# full-pipeline cross-check skipped: {type(e).__name__}",
               flush=True)
 
-    # analytic ground truth (rendered disparity field) on the same pair
+    # analytic ground truth (rendered disparity field) on the same pair;
+    # the interior variant crops the left D-band (structurally unmatchable:
+    # the right view lacks that content) and image borders
     mt = valid_p & (disp_true > 1.0)
     rmse_truth = float(np.sqrt(((disp_p[mt] - disp_true[mt]) ** 2).mean()))
+    core = np.zeros((H, W), bool)
+    core[8:H - 8, D + 8:W - 8] = True
+    mt_c = mt & core
+    rmse_truth_int = float(np.sqrt(
+        ((disp_p[mt_c] - disp_true[mt_c]) ** 2).mean()))
 
     # ---- large-N point ops: the reference's only benchmark was a CUDA
     # voxel downsample of 10M random points (test/gpu-performance.py:23-46);
@@ -327,6 +346,7 @@ def main():
             "full_decomp_matcher_px": decomp_matcher,
             "full_decomp_warp_px": decomp_warp,
             "rmse_vs_analytic_truth_px": round(rmse_truth, 4),
+            "rmse_vs_analytic_truth_interior_px": round(rmse_truth_int, 4),
             "both_valid_frac": round(float(both.mean()), 3),
             "voxel_downsample_10m_ms": ms_vd10m,
             "normals_1m_ms": ms_n1m,

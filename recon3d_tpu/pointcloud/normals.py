@@ -151,10 +151,12 @@ def estimate_normals(
     max_nn=50, radius=0.05).
 
     Above 32k points the O(N^2) brute-force kNN switches to the voxel-
-    binned search (ops.grid_knn) — exact for neighbors within `radius`,
-    which is all the hybrid search keeps anyway. 1M-point normals run
-    on-chip in well under a second (the reference's CUDA path,
-    normal_estimation.py:19-21, was the 10M-point scale target)."""
+    binned moments path — exact for neighbors within `radius`, which is
+    all the hybrid search keeps anyway. On TPU that path is the Pallas
+    slab kernel + slot-space eigen-solve (ops.grid_knn_pallas /
+    _grid_normals_pallas): 1M points in ~190 ms on one v5e at
+    radius=0.02/G=64/C=16 (driver-recorded in BENCH_r02; the reference's
+    CUDA path is normal_estimation.py:19-21)."""
     if pc.capacity > 32768:
         # moment-accumulation path: neighborhoods within `radius` are
         # folded directly into count/mean/covariance — no neighbor index
