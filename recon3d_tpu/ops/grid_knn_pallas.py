@@ -12,9 +12,18 @@ grid_pca_moments, restructured for the TPU memory system:
 - slab planes are FLATTENED to (C, G*G): full 128-lane vregs (a (G, G)=
   (64, 64) plane half-fills them), and the (dy, dz) neighbor alignment
   becomes ONE lane roll of dy*G + dz with iota edge masks.
+- CANDIDATES ride the sublane axis, QUERIES iterate in a fori loop: each
+  query's 10 moment updates are sublane REDUCTIONS of (C, GG) feature
+  planes down to (1, GG) accumulator rows, so accumulator read-modify-
+  write traffic drops 16x (C=16) vs the earlier per-candidate broadcast
+  form, which accumulated full (C, {1,3,6}, GG) blocks per candidate —
+  42.9 ms vs 107.4 ms at 1M points / G=64 / C=16 on a v5e.
+- all channels (x, y, z, occupancy in; the 10 moments out) are PACKED on
+  the sublane axis as (4C, GG) / (10C, GG) slabs: no sublane padding, and
+  the (dy, dz) roll aligns every input channel in one move.
 - Mosaic has no dynamic_slice on values, so each offset's rolled
-  candidates are staged in VMEM scratch and the per-candidate fori_loop
-  dynamically indexes the ref.
+  candidates are staged in VMEM scratch and the per-query fori_loop
+  dynamically indexes refs only.
 
 Everything is f32 madds (the XLA einsum path contracted via dot_general
 at default TPU precision, i.e. bf16 — see the precision pin in
@@ -36,30 +45,22 @@ from recon3d_tpu.ops import grid_knn as gk
 BIG = jnp.float32(1e30)
 
 
-def _mk_kernel(G: int, C: int):
+def _mk_kernel(G: int, C: int, fuse_eig: bool = False):
     GG = G * G
 
-    def kernel(r2_ref, prev_ref, cur_ref, nxt_ref, pocc_ref, cocc_ref,
-               nocc_ref, cnt_ref, s1_ref, s2_ref,
-               cand_s, occ_s, acc_cnt, acc_s1, acc_s2):
+    def kernel(r2_ref, prev_ref, cur_ref, nxt_ref, out_ref, cand_s, acc_s):
         x = pl.program_id(0)
         r2 = r2_ref[0]  # SMEM scalar: radius stays a traced value upstream
-        q = cur_ref[0]          # (C, 3, GG)
-        qocc = cocc_ref[0]      # (C, GG)
 
-        ig = jax.lax.broadcasted_iota(jnp.int32, (1, GG), 1)
-        iy = ig // G
-        iz = ig % G
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, GG), 1)
+        iy = lane // G
+        iz = lane % G
 
-        acc_cnt[...] = jnp.zeros((C, GG), jnp.float32)
-        acc_s1[...] = jnp.zeros((C, 3, GG), jnp.float32)
-        acc_s2[...] = jnp.zeros((C, 6, GG), jnp.float32)
+        acc_s[...] = jnp.zeros((10 * C, GG), jnp.float32)
 
-        planes = ((-1, prev_ref, pocc_ref), (0, cur_ref, cocc_ref),
-                  (1, nxt_ref, nocc_ref))
-        for dx, sref, soref in planes:
-            slab = sref[0]      # (C, 3, GG)
-            socc = soref[0]     # (C, GG)
+        planes = ((-1, prev_ref), (0, cur_ref), (1, nxt_ref))
+        for dx, sref in planes:
+            slab = sref[0]          # (4C, GG) packed [x, y, z, occ] rows
             if dx == -1:
                 xok = x > 0
             elif dx == 1:
@@ -69,9 +70,9 @@ def _mk_kernel(G: int, C: int):
             for dy in (-1, 0, 1):
                 for dz in (-1, 0, 1):
                     # cand[., g] = slab[., g + dy*G + dz]: one lane roll
+                    # aligns all 4 channels at once
                     sh = (-(dy * G + dz)) % GG
-                    cand = pltpu.roll(slab, sh, axis=2) if sh else slab
-                    co2 = pltpu.roll(socc, sh, axis=1) if sh else socc
+                    cand_s[...] = pltpu.roll(slab, sh, axis=1) if sh else slab
                     edge = jnp.full((1, GG), True)
                     if dy:
                         edge = edge & ((iy + dy >= 0) & (iy + dy < G))
@@ -79,98 +80,104 @@ def _mk_kernel(G: int, C: int):
                         edge = edge & ((iz + dz >= 0) & (iz + dz < G))
                     if dx != 0:
                         edge = edge & xok
-                    edgef = edge.astype(jnp.float32)  # (1, GG)
+                    edgef = edge.astype(jnp.float32)    # (1, GG)
 
-                    # Accumulation shape, measured at G=64/C=16/1M on a
-                    # v5e: per-candidate fori with in-place scratch += (this
-                    # form) runs the kernel in ~108 ms; carrying the
-                    # accumulators as fori values spills them every
-                    # iteration (~100 ms slower end to end); chunked
-                    # value-partials (+= per 4 candidates) spill the
-                    # chains (282 ms); fully unrolling all 27x16 chains
-                    # blows Mosaic's scoped allocator (1.34 GB live).
-                    cand_s[...] = cand
-                    occ_s[...] = co2[:, None]
+                    cx = cand_s[0:C]                    # (C, GG)
+                    cy = cand_s[C:2 * C]
+                    cz = cand_s[2 * C:3 * C]
+                    cocc = cand_s[3 * C:4 * C]
 
-                    def body(cc, _):
-                        px = cand_s[cc, 0:1]                    # (1, GG)
-                        py = cand_s[cc, 1:2]
-                        pz = cand_s[cc, 2:3]
-                        co = occ_s[cc, 0:1]                     # (1, GG)
-                        d0 = q[:, 0] - px
-                        d1 = q[:, 1] - py
-                        d2_ = q[:, 2] - pz
-                        dd = d0 * d0 + d1 * d1 + d2_ * d2_      # (C, GG)
-                        w = jnp.where(dd <= r2, 1.0, 0.0) \
-                            * co * edgef * qocc
-                        acc_cnt[...] += w
-                        cpt = jnp.concatenate([px, py, pz], 0)  # (3, GG)
-                        acc_s1[...] += w[:, None] * cpt[None]
-                        sec = jnp.concatenate(
-                            [px * px, py * py, pz * pz,
-                             px * py, px * pz, py * pz], 0)     # (6, GG)
-                        acc_s2[...] += w[:, None] * sec[None]
+                    def body(qq, _):
+                        qx = cur_ref[0, pl.ds(qq, 1)]            # (1, GG)
+                        qy = cur_ref[0, pl.ds(C + qq, 1)]
+                        qz = cur_ref[0, pl.ds(2 * C + qq, 1)]
+                        qo = cur_ref[0, pl.ds(3 * C + qq, 1)]
+                        eq = edgef * qo                          # (1, GG)
+                        d0 = qx - cx                             # (C, GG)
+                        d1 = qy - cy
+                        d2_ = qz - cz
+                        dd = d0 * d0 + d1 * d1 + d2_ * d2_
+                        w = jnp.where(dd <= r2, cocc * eq, 0.0)  # (C, GG)
+                        feats = (w, w * cx, w * cy, w * cz,
+                                 w * cx * cx, w * cy * cy, w * cz * cz,
+                                 w * cx * cy, w * cx * cz, w * cy * cz)
+                        for ch, f in enumerate(feats):
+                            acc_s[pl.ds(ch * C + qq, 1)] += jnp.sum(
+                                f, axis=0, keepdims=True)
                         return 0
 
                     jax.lax.fori_loop(0, C, body, 0)
-        cnt_ref[0] = acc_cnt[...]
-        s1_ref[0] = acc_s1[...]
-        s2_ref[0] = acc_s2[...]
+        if not fuse_eig:
+            out_ref[0] = acc_s[...]
+            return
+        # fused finish: normalize moments -> covariance channels -> the
+        # channelwise eigen-solve, all on (C, GG) planes still in VMEM.
+        # Only 4 channels (nx, ny, nz, count) leave the kernel instead of
+        # 10 moments, and the XLA-side slot-space eig pass (11 ms at
+        # G=64/C=16 on a v5e) disappears entirely.
+        from recon3d_tpu.pointcloud.normals import _eig6_channels
+
+        n = acc_s[0:C]
+        nn = jnp.maximum(n, 1.0)
+        mx = acc_s[C:2 * C] / nn
+        my = acc_s[2 * C:3 * C] / nn
+        mz = acc_s[3 * C:4 * C] / nn
+        xx = acc_s[4 * C:5 * C] / nn - mx * mx
+        yy = acc_s[5 * C:6 * C] / nn - my * my
+        zz = acc_s[6 * C:7 * C] / nn - mz * mz
+        xy = acc_s[7 * C:8 * C] / nn - mx * my
+        xz = acc_s[8 * C:9 * C] / nn - mx * mz
+        yz = acc_s[9 * C:10 * C] / nn - my * mz
+        vx, vy, vz = _eig6_channels(xx, yy, zz, xy, xz, yz)
+        out_ref[0] = jnp.concatenate([vx, vy, vz, n], axis=0)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("G", "C", "interpret"))
-def moments_pallas_core(tg, occ, r2, G, C, interpret=False):
-    """tg: (G, C, 3, G*G) zeroed coords; occ: (G, C, G*G) f32 occupancy;
-    r2: traced scalar (squared radius). Returns (cnt (G,C,GG),
-    s1 (G,C,3,GG), s2 (G,C,6,GG))."""
+def _core_call(pk, r2, G, C, interpret, fuse_eig):
     GG = G * G
-    prev4 = lambda x: (jnp.maximum(x - 1, 0), 0, 0, 0)
-    cur4 = lambda x: (x, 0, 0, 0)
-    nxt4 = lambda x: (jnp.minimum(x + 1, G - 1), 0, 0, 0)
-    prev3 = lambda x: (jnp.maximum(x - 1, 0), 0, 0)
-    cur3 = lambda x: (x, 0, 0)
-    nxt3 = lambda x: (jnp.minimum(x + 1, G - 1), 0, 0)
-    bs4 = (1, C, 3, GG)
-    bs3 = (1, C, GG)
+    bs = (1, 4 * C, GG)
+    out_ch = (4 if fuse_eig else 10) * C
     r2v = jnp.reshape(jnp.asarray(r2, jnp.float32), (1,))
-    out = pl.pallas_call(
-        _mk_kernel(G, C),
+    return pl.pallas_call(
+        _mk_kernel(G, C, fuse_eig),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(bs4, prev4),
-            pl.BlockSpec(bs4, cur4),
-            pl.BlockSpec(bs4, nxt4),
-            pl.BlockSpec(bs3, prev3),
-            pl.BlockSpec(bs3, cur3),
-            pl.BlockSpec(bs3, nxt3),
+            pl.BlockSpec(bs, lambda x: (jnp.maximum(x - 1, 0), 0, 0)),
+            pl.BlockSpec(bs, lambda x: (x, 0, 0)),
+            pl.BlockSpec(bs, lambda x: (jnp.minimum(x + 1, G - 1), 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec(bs3, cur3),
-            pl.BlockSpec(bs4, cur4),
-            pl.BlockSpec((1, C, 6, GG), cur4),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, C, GG), jnp.float32),
-            jax.ShapeDtypeStruct((G, C, 3, GG), jnp.float32),
-            jax.ShapeDtypeStruct((G, C, 6, GG), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((C, 3, GG), jnp.float32),
-                        pltpu.VMEM((C, 1, GG), jnp.float32),
-                        pltpu.VMEM((C, GG), jnp.float32),
-                        pltpu.VMEM((C, 3, GG), jnp.float32),
-                        pltpu.VMEM((C, 6, GG), jnp.float32)],
+        out_specs=pl.BlockSpec((1, out_ch, GG), lambda x: (x, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, out_ch, GG), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4 * C, GG), jnp.float32),
+                        pltpu.VMEM((10 * C, GG), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
-    )(r2v, tg, tg, tg, occ, occ, occ)
-    return out
+    )(r2v, pk, pk, pk)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "C", "interpret"))
+def moments_pallas_core(pk, r2, G, C, interpret=False):
+    """pk: (G, 4C, G*G) packed [x, y, z, occupancy] channel rows (see
+    grid_knn._bin_points_packed); r2: traced scalar (squared radius).
+    Returns (G, 10C, G*G) packed [cnt, sx, sy, sz, sxx, syy, szz, sxy,
+    sxz, syz] channel rows in the same slot layout."""
+    return _core_call(pk, r2, G, C, interpret, fuse_eig=False)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "C", "interpret"))
+def normals_pallas_core(pk, r2, G, C, interpret=False):
+    """Fused moments + PCA eigen-solve: same input as moments_pallas_core,
+    but the covariance normalization and smallest-eigenvector solve run
+    inside the kernel on VMEM-resident planes. Returns (G, 4C, G*G) packed
+    [nx, ny, nz, count] channel rows in slot layout."""
+    return _core_call(pk, r2, G, C, interpret, fuse_eig=True)
 
 
 def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
-                            cell_capacity=8, interpret=False, bin_fn=None):
+                            cell_capacity=8, interpret=False):
     """Drop-in twin of gk.grid_pca_moments: (count (N,), mean (N, 3),
     cov6 (N, 6) [xx, yy, zz, xy, xz, yz]).
 
@@ -181,22 +188,11 @@ def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
     """
     p = jnp.asarray(points, jnp.float32)
     G, C = grid_size, cell_capacity
-    assert C % 4 == 0, "cell_capacity must be a multiple of 4 (chunked loop)"
-    if bin_fn is None:
-        bin_fn = gk._bin_points
-    table, _, point_slot, _ = bin_fn(p, valid, radius, G, C)
-    # (G^3*C, 3) -> (Gx, Gy, Gz, C, 3) -> (Gx, C, 3, Gy*Gz)
-    t5 = table.reshape(G, G, G, C, 3)
-    occ = (t5[..., 0] < BIG / 2)                       # (G, G, G, C)
-    t5 = jnp.where(occ[..., None], t5, 0.0)
-    tg = jnp.transpose(t5, (0, 3, 4, 1, 2)).reshape(G, C, 3, G * G)
-    occf = jnp.transpose(occ, (0, 3, 1, 2)).reshape(G, C, G * G)
-
-    cnt, s1, s2 = moments_pallas_core(tg, occf.astype(jnp.float32),
-                                      radius * radius, G, C, interpret)
-    # Read results back by gathering DIRECTLY from the kernel's native
-    # (G, C, k, GG) layout — no 100+ MB output transposes. Per-point
-    # coordinates into that layout from slot = (x*GG + g)*C + c:
+    pk, point_slot, _ = gk._bin_points_packed(p, valid, radius, G, C)
+    out = moments_pallas_core(pk, radius * radius, G, C, interpret)
+    # Read results back by gathering DIRECTLY from the kernel's packed
+    # (G, 10C, GG) layout — no 100+ MB output transposes. Per-point flat
+    # index for channel j from slot = (x*GG + g)*C + c:
     GG = G * G
     slot = jnp.maximum(point_slot, 0)
     has = point_slot >= 0
@@ -204,14 +200,15 @@ def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
     c = slot % C
     x = cell // GG
     g = cell % GG
-    base = x * C + c
-    cnt_f = cnt.reshape(-1)
-    s1_f = s1.reshape(-1)
-    s2_f = s2.reshape(-1)
-    n = jnp.where(has, cnt_f[base * GG + g], 0.0)
+    out_f = out.reshape(-1)
+
+    def chan(j):
+        return out_f[((x * 10 + j) * C + c) * GG + g]
+
+    n = jnp.where(has, chan(0), 0.0)
     nn = jnp.maximum(n, 1.0)
-    m1 = [s1_f[(base * 3 + j) * GG + g] / nn for j in range(3)]
-    m2 = [s2_f[(base * 6 + j) * GG + g] / nn for j in range(6)]
+    m1 = [chan(1 + j) / nn for j in range(3)]
+    m2 = [chan(4 + j) / nn for j in range(6)]
     mx, my, mz = m1
     mean = jnp.stack(m1, -1)
     cov6 = jnp.stack([m2[0] - mx * mx, m2[1] - my * my,

@@ -58,13 +58,12 @@ def _smallest_eigvec_3x3(C: jax.Array) -> jax.Array:
     return jnp.where(norm > 1e-12, v / jnp.maximum(norm, 1e-12), fallback)
 
 
-def _smallest_eigvec_cov6(cov6: jax.Array) -> jax.Array:
-    """Channelwise twin of _smallest_eigvec_3x3 for (N, 6) covariances
-    [xx, yy, zz, xy, xz, yz]: every quantity stays an (N,) vector, so there
-    are no (N, 3, 3) layout reshuffles, stacks or take_along_axis gathers
-    on the 1M-point path (those cost more than the eigen-solve itself)."""
-    xx, yy, zz = cov6[:, 0], cov6[:, 1], cov6[:, 2]
-    xy, xz, yz = cov6[:, 3], cov6[:, 4], cov6[:, 5]
+def _eig6_channels(xx, yy, zz, xy, xz, yz):
+    """Channelwise smallest-eigenvector solve on 6 covariance component
+    arrays of ANY (matching) shape. Returns (vx, vy, vz) unit components
+    with the degenerate fallback (0, 0, 1). Shared by the (N,)-vector
+    point-space path below and the Pallas normals kernel, which runs it on
+    (C, G*G) accumulator planes inside VMEM (grid_knn_pallas)."""
     q = (xx + yy + zz) / 3.0
     bxx, byy, bzz = xx - q, yy - q, zz - q
     p2 = (bxx * bxx + byy * byy + bzz * bzz
@@ -73,9 +72,26 @@ def _smallest_eigvec_cov6(cov6: jax.Array) -> jax.Array:
     detB = (bxx * (byy * bzz - yz * yz)
             - xy * (xy * bzz - yz * xz)
             + xz * (xy * yz - byy * xz))
-    r = jnp.clip(detB / (2.0 * p ** 3 + 1e-30), -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    # smallest eigenvalue via safeguarded Newton on the NORMALIZED
+    # characteristic cubic mu^3 - 3 mu - d = 0 (mu = (lam - q)/p, so all
+    # quantities are O(1) regardless of covariance scale; d in [-2, 2]).
+    # The closed trigonometric form (mu = 2 cos(arccos(d/2)/3 + 2pi/3))
+    # needs acos, which Mosaic has no TPU lowering for — this runs inside
+    # the fused Pallas normals kernel. From mu0 = -2 (below the smallest
+    # root, which lies in [-2, -1]) Newton on the locally concave
+    # increasing branch converges monotonically from the left;
+    # quadratically for simple roots, and the clip bounds the
+    # double-root (line-degenerate) case that the fallback below
+    # handles anyway.
+    d = jnp.clip(detB / jnp.maximum(p * p * p, 1e-30), -2.0, 2.0)
+    # 12 iterations: min |cos| vs LAPACK eigenvectors 0.99998 over 5k
+    # random PSD samples (8 iters leaves near-double-root stragglers)
+    mu = jnp.full_like(d, -2.0)
+    for _ in range(12):
+        f = mu * (mu * mu - 3.0) - d
+        fp = 3.0 * (mu * mu - 1.0)
+        mu = jnp.clip(mu - f / jnp.maximum(fp, 1e-12), -2.0, -1.0)
+    lam = q + p * mu
 
     axx, ayy, azz = xx - lam, yy - lam, zz - lam
     # rows of (C - lam I): r0=(axx,xy,xz) r1=(xy,ayy,yz) r2=(xz,yz,azz)
@@ -94,49 +110,54 @@ def _smallest_eigvec_cov6(cov6: jax.Array) -> jax.Array:
     norm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
     ok = norm > 1e-12
     inv = 1.0 / jnp.maximum(norm, 1e-12)
-    return jnp.stack([jnp.where(ok, vx * inv, 0.0),
-                      jnp.where(ok, vy * inv, 0.0),
-                      jnp.where(ok, vz * inv, 1.0)], -1)
+    return (jnp.where(ok, vx * inv, 0.0),
+            jnp.where(ok, vy * inv, 0.0),
+            jnp.where(ok, vz * inv, 1.0))
+
+
+def _smallest_eigvec_cov6(cov6: jax.Array) -> jax.Array:
+    """Channelwise twin of _smallest_eigvec_3x3 for (N, 6) covariances
+    [xx, yy, zz, xy, xz, yz]: every quantity stays an (N,) vector, so there
+    are no (N, 3, 3) layout reshuffles, stacks or take_along_axis gathers
+    on the 1M-point path (those cost more than the eigen-solve itself)."""
+    vx, vy, vz = _eig6_channels(cov6[:, 0], cov6[:, 1], cov6[:, 2],
+                                cov6[:, 3], cov6[:, 4], cov6[:, 5])
+    return jnp.stack([vx, vy, vz], -1)
 
 
 def _grid_normals_pallas(points, valid, radius, grid_size, cell_capacity,
                          interpret: bool = False):
-    """TPU large-N normals: moments via the Pallas slab kernel, then the
-    channelwise eigen-solve IN SLOT SPACE (pure elementwise over the
-    G^3*C table, ~1 ms) so only the 3 normal channels are gathered back
-    per point — the 10-channel per-point gather was ~3x the readback
-    cost."""
+    """TPU large-N normals: packed binning straight into the fused
+    moments+eigen-solve Pallas kernel (grid_knn_pallas.normals_pallas_core
+    — covariance normalization and the channelwise eigen-solve run on
+    VMEM-resident planes), then only the 3 normal channels are gathered
+    back per point. The earlier slot-table + XLA slot-space eig route
+    spent ~120 ms more at 1M points in binning gathers and the extra
+    moment round-trips through HBM."""
     from recon3d_tpu.ops import grid_knn as gk
-    from recon3d_tpu.ops.grid_knn_pallas import BIG, moments_pallas_core
+    from recon3d_tpu.ops.grid_knn_pallas import normals_pallas_core
 
     p = jnp.asarray(points, jnp.float32)
     G, C = grid_size, cell_capacity
     GG = G * G
-    table, _, point_slot, _ = gk._bin_points(p, valid, radius, G, C)
-    t5 = table.reshape(G, G, G, C, 3)
-    occ = (t5[..., 0] < BIG / 2)
-    t5 = jnp.where(occ[..., None], t5, 0.0)
-    tg = jnp.transpose(t5, (0, 3, 4, 1, 2)).reshape(G, C, 3, GG)
-    occf = jnp.transpose(occ, (0, 3, 1, 2)).reshape(G, C, GG)
-    cnt, s1, s2 = moments_pallas_core(tg, occf.astype(jnp.float32),
-                                      radius * radius, G, C, interpret)
-    n_s = cnt.reshape(-1)
-    nn = jnp.maximum(n_s, 1.0)
-    m1 = [s1[:, :, j, :].reshape(-1) / nn for j in range(3)]
-    m2 = [s2[:, :, j, :].reshape(-1) / nn for j in range(6)]
-    mx, my, mz = m1
-    cov6_s = jnp.stack([m2[0] - mx * mx, m2[1] - my * my, m2[2] - mz * mz,
-                        m2[3] - mx * my, m2[4] - mx * mz, m2[5] - my * mz],
-                       -1)
-    v_s = _smallest_eigvec_cov6(cov6_s)  # (G*C*GG, 3) slot-space normals
-    # per-point readback: layout index from slot = (x*GG + g)*C + c
+    pk, point_slot, _ = gk._bin_points_packed(p, valid, radius, G, C)
+    out = normals_pallas_core(pk, radius * radius, G, C, interpret)
+    # packed (G, 4C, GG) rows [nx, ny, nz, cnt]; per-point readback of the
+    # 3 normal channels from slot = (x*GG + g)*C + c:
     slot = jnp.maximum(point_slot, 0)
     has = point_slot >= 0
     cell = slot // C
     c = slot % C
-    idx = (cell // GG * C + c) * GG + cell % GG
+    x = cell // GG
+    g = cell % GG
+    out_f = out.reshape(-1)
+
+    def chan(j):
+        return out_f[((x * 4 + j) * C + c) * GG + g]
+
     fallback = jnp.array([0.0, 0.0, 1.0], jnp.float32)
-    return jnp.where(has[:, None], v_s[idx], fallback)
+    v = jnp.stack([chan(0), chan(1), chan(2)], -1)
+    return jnp.where(has[:, None], v, fallback)
 
 
 @partial(jax.jit, static_argnames=("max_nn", "grid_size", "cell_capacity"))
@@ -152,9 +173,9 @@ def estimate_normals(
 
     Above 32k points the O(N^2) brute-force kNN switches to the voxel-
     binned moments path — exact for neighbors within `radius`, which is
-    all the hybrid search keeps anyway. On TPU that path is the Pallas
-    slab kernel + slot-space eigen-solve (ops.grid_knn_pallas /
-    _grid_normals_pallas): 1M points in ~190 ms on one v5e at
+    all the hybrid search keeps anyway. On TPU that path is the fused
+    Pallas moments+eigen-solve kernel (ops.grid_knn_pallas /
+    _grid_normals_pallas): 1M points in ~134 ms on one v5e at
     radius=0.02/G=64/C=16 (driver-recorded in BENCH_r02; the reference's
     CUDA path is normal_estimation.py:19-21)."""
     if pc.capacity > 32768:
