@@ -19,6 +19,7 @@ pair. Prints ONE JSON line.
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -251,7 +252,6 @@ def main():
     # ---- large-N point ops: the reference's only benchmark was a CUDA
     # voxel downsample of 10M random points (test/gpu-performance.py:23-46);
     # normals at 1M exercise the voxel-binned kNN path
-    from recon3d_tpu.pointcloud.normals import estimate_normals
     from recon3d_tpu.pointcloud.voxel import voxel_downsample
     from recon3d_tpu.utils.types import PointCloud
 
@@ -309,21 +309,37 @@ def main():
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# streaming extra skipped: {type(e).__name__}", flush=True)
 
+    # normals extras run one-per-subprocess (tools/bench_pointops.py):
+    # the axon backend intermittently refuses to load a second Pallas
+    # executable into a process that already ran a lane-padded one, and
+    # this process has run the whole depth pipeline's kernels
+    import subprocess
+
+    def _sub_normals(n, radius, grid, cap):
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools", "bench_pointops.py"),
+             "normals", "--n", str(n), "--radius", str(radius),
+             "--grid", str(grid), "--cap", str(cap)],
+            capture_output=True, text=True, timeout=3600)
+        return json.loads(r.stdout.strip().splitlines()[-1])["ms"]
+
     try:
-        pc1m = PointCloud(points=jnp.asarray(rng.rand(1_000_000, 3),
-                                             jnp.float32),
-                          valid=jnp.ones((1_000_000,), bool))
-        nf = jax.jit(lambda p: estimate_normals(p, radius=0.02, max_nn=30,
-                                                grid_size=64,
-                                                cell_capacity=16))
-        _ = float(jnp.sum(nf(pc1m).normals))
-        t0 = time.perf_counter()
-        for _i in range(3):
-            out1 = nf(pc1m)
-        _ = float(jnp.sum(out1.normals))
-        ms_n1m = round((time.perf_counter() - t0) / 3 * 1e3, 1)
+        # grid sized to the data: 52 cells * 0.02 cover the unit cube
+        # (a 64 grid spans 1.28 and wastes 45% of the slab work)
+        ms_n1m = _sub_normals(1_000_000, 0.02, 52, 16)
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# normals 1M extra skipped: {type(e).__name__}", flush=True)
+
+    ms_n10m = None
+    try:
+        # 10M-point normals at the reference benchmark's cloud scale
+        # (test/gpu-performance.py:23-46 uses 10M random unit-cube points):
+        # radius shrinks so the 128-cell grid spans the cube (128*0.008 =
+        # 1.024) and mean cell occupancy stays ~5 of capacity 16
+        ms_n10m = _sub_normals(10_000_000, 0.008, 128, 16)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"# normals 10M extra skipped: {type(e).__name__}", flush=True)
 
     print(json.dumps({
         "metric": "stereo_1080p_pair_to_colored_cloud_fps",
@@ -350,6 +366,7 @@ def main():
             "both_valid_frac": round(float(both.mean()), 3),
             "voxel_downsample_10m_ms": ms_vd10m,
             "normals_1m_ms": ms_n1m,
+            "normals_10m_ms": ms_n10m,
             "streaming_fps": streaming_fps,
         },
     }))

@@ -38,28 +38,47 @@ class GridKNNResult(NamedTuple):
     overflow_fraction: jax.Array  # scalar f32: points dropped from cells
 
 
-def _sort_cells(p, valid, radius, G, C):
+def _lane_stride(G: int) -> int:
+    """Smallest z-stride gz >= G making G*gz a multiple of 128: the Pallas
+    slab kernels flatten (y, z) planes onto the lane axis, and pltpu.roll
+    needs the lane count vreg-aligned (a (52, 2704) roll dies with a TPU
+    backend error). Lanes with z >= G are dead: never occupied, masked by
+    the kernel's edge iota."""
+    gz = G
+    while (G * gz) % 128:
+        gz += 1
+    return gz
+
+
+def _sort_cells(p, valid, radius, G, C, gz=None):
     """Shared cell-sorting stage of the binning paths: points sorted by
     cell id, plus the per-cell start offsets and per-sorted-point rank.
 
-    TPU cost notes (1M points, G=64, C=16 on a v5e): the argsort +
-    coordinate gather is ~22 ms; `start` comes from a 262k-wide scatter-min
-    of first-occurrence positions followed by a reverse cummin to fill
+    TPU cost notes (1M points, G=64, C=16 on a v5e): the multi-operand
+    sort carries the coordinates and original indices through as sort
+    payloads in one pass (10.7 ms — argsort followed by row gathers costs
+    22.8 ms); `start` comes from a 262k-wide scatter-min of
+    first-occurrence positions followed by a reverse cummin to fill
     empty cells (14 ms — jnp.searchsorted's binary search costs 42 ms and
-    its sort method 19 ms)."""
+    its sort method 19 ms).
+
+    gz: cell-id z stride (>= G); ids of cells with z in [G, gz) are never
+    assigned (see _lane_stride). Defaults to G (dense ids)."""
+    if gz is None:
+        gz = G
     N = p.shape[0]
-    n_cells = G * G * G
+    n_cells = G * G * gz
     lo = jnp.min(jnp.where(valid[:, None], p, BIG), axis=0) - 0.5 * radius
     cell = jnp.floor((p - lo) / radius).astype(jnp.int32)
     inb = jnp.all((cell >= 0) & (cell < G), axis=1) & valid
     cell = jnp.clip(cell, 0, G - 1)
-    cid = (cell[:, 0] * G + cell[:, 1]) * G + cell[:, 2]
+    cid = (cell[:, 0] * G + cell[:, 1]) * gz + cell[:, 2]
     cid = jnp.where(inb, cid, n_cells)  # out-of-grid/invalid -> trash cell
 
-    order = jnp.argsort(cid)
-    sc = cid[order]
-    sp = p[order]
     iota = jnp.arange(N, dtype=jnp.int32)
+    sc, spx, spy, spz, order = jax.lax.sort(
+        (cid, p[:, 0], p[:, 1], p[:, 2], iota), num_keys=1)
+    sp = jnp.stack([spx, spy, spz], -1)
     # start[c] = first sorted position with cell id >= c (so start[c+1] -
     # start[c] is cell c's population): scatter each segment's first
     # position, then fill empty cells from the right
@@ -122,13 +141,18 @@ def _bin_points_packed(p, valid, radius, grid_size, cell_capacity):
     row gather from the sorted points plus a moveaxis lands the packed
     slabs in 25 ms at 1M points/G=64/C=16 on a v5e, where the table
     gather + repack route cost 99 ms (and flat per-channel 1-D gathers at
-    G^3*C width cost 155 ms — TPU gathers want the row form)."""
+    G^3*C width cost 155 ms — TPU gathers want the row form).
+
+    Lane layout: cell (x, y, z) -> slab x, lane y*gz + z with
+    gz = _lane_stride(G), so lane counts stay vreg-aligned for any G
+    (dead z >= G lanes are never occupied)."""
     G, C = grid_size, cell_capacity
+    gz = _lane_stride(G)
     sc, sp, order, start, ok, rank, overflow = _sort_cells(
-        p, valid, radius, G, C)
+        p, valid, radius, G, C, gz=gz)
     N = p.shape[0]
-    n_cells = G * G * G
-    GG = G * G
+    n_cells = G * G * gz
+    GG = G * gz
     st3 = start[:n_cells].reshape(G, 1, GG)
     pos = st3 + jnp.arange(C, dtype=jnp.int32).reshape(1, C, 1)
     nxt = start[1:n_cells + 1].reshape(G, 1, GG)

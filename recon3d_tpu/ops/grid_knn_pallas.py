@@ -45,16 +45,18 @@ from recon3d_tpu.ops import grid_knn as gk
 BIG = jnp.float32(1e30)
 
 
-def _mk_kernel(G: int, C: int, fuse_eig: bool = False):
-    GG = G * G
+def _mk_kernel(G: int, C: int, fuse_eig: bool = False, gz: int | None = None):
+    if gz is None:
+        gz = G
+    GG = G * gz
 
     def kernel(r2_ref, prev_ref, cur_ref, nxt_ref, out_ref, cand_s, acc_s):
         x = pl.program_id(0)
         r2 = r2_ref[0]  # SMEM scalar: radius stays a traced value upstream
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, GG), 1)
-        iy = lane // G
-        iz = lane % G
+        iy = lane // gz
+        iz = lane % gz
 
         acc_s[...] = jnp.zeros((10 * C, GG), jnp.float32)
 
@@ -71,7 +73,7 @@ def _mk_kernel(G: int, C: int, fuse_eig: bool = False):
                 for dz in (-1, 0, 1):
                     # cand[., g] = slab[., g + dy*G + dz]: one lane roll
                     # aligns all 4 channels at once
-                    sh = (-(dy * G + dz)) % GG
+                    sh = (-(dy * gz + dz)) % GG
                     cand_s[...] = pltpu.roll(slab, sh, axis=1) if sh else slab
                     edge = jnp.full((1, GG), True)
                     if dy:
@@ -134,13 +136,15 @@ def _mk_kernel(G: int, C: int, fuse_eig: bool = False):
     return kernel
 
 
-def _core_call(pk, r2, G, C, interpret, fuse_eig):
-    GG = G * G
+def _core_call(pk, r2, G, C, interpret, fuse_eig, gz=None):
+    if gz is None:
+        gz = G
+    GG = G * gz
     bs = (1, 4 * C, GG)
     out_ch = (4 if fuse_eig else 10) * C
     r2v = jnp.reshape(jnp.asarray(r2, jnp.float32), (1,))
     return pl.pallas_call(
-        _mk_kernel(G, C, fuse_eig),
+        _mk_kernel(G, C, fuse_eig, gz),
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -158,22 +162,23 @@ def _core_call(pk, r2, G, C, interpret, fuse_eig):
     )(r2v, pk, pk, pk)
 
 
-@functools.partial(jax.jit, static_argnames=("G", "C", "interpret"))
-def moments_pallas_core(pk, r2, G, C, interpret=False):
-    """pk: (G, 4C, G*G) packed [x, y, z, occupancy] channel rows (see
-    grid_knn._bin_points_packed); r2: traced scalar (squared radius).
-    Returns (G, 10C, G*G) packed [cnt, sx, sy, sz, sxx, syy, szz, sxy,
-    sxz, syz] channel rows in the same slot layout."""
-    return _core_call(pk, r2, G, C, interpret, fuse_eig=False)
+@functools.partial(jax.jit, static_argnames=("G", "C", "interpret", "gz"))
+def moments_pallas_core(pk, r2, G, C, interpret=False, gz=None):
+    """pk: (G, 4C, G*gz) packed [x, y, z, occupancy] channel rows (see
+    grid_knn._bin_points_packed; gz = lane stride, default G); r2: traced
+    scalar (squared radius). Returns (G, 10C, G*gz) packed [cnt, sx, sy,
+    sz, sxx, syy, szz, sxy, sxz, syz] channel rows in the same slot
+    layout."""
+    return _core_call(pk, r2, G, C, interpret, fuse_eig=False, gz=gz)
 
 
-@functools.partial(jax.jit, static_argnames=("G", "C", "interpret"))
-def normals_pallas_core(pk, r2, G, C, interpret=False):
+@functools.partial(jax.jit, static_argnames=("G", "C", "interpret", "gz"))
+def normals_pallas_core(pk, r2, G, C, interpret=False, gz=None):
     """Fused moments + PCA eigen-solve: same input as moments_pallas_core,
     but the covariance normalization and smallest-eigenvector solve run
     inside the kernel on VMEM-resident planes. Returns (G, 4C, G*G) packed
     [nx, ny, nz, count] channel rows in slot layout."""
-    return _core_call(pk, r2, G, C, interpret, fuse_eig=True)
+    return _core_call(pk, r2, G, C, interpret, fuse_eig=True, gz=gz)
 
 
 def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
@@ -188,12 +193,13 @@ def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
     """
     p = jnp.asarray(points, jnp.float32)
     G, C = grid_size, cell_capacity
+    gz = gk._lane_stride(G)
     pk, point_slot, _ = gk._bin_points_packed(p, valid, radius, G, C)
-    out = moments_pallas_core(pk, radius * radius, G, C, interpret)
+    out = moments_pallas_core(pk, radius * radius, G, C, interpret, gz=gz)
     # Read results back by gathering DIRECTLY from the kernel's packed
     # (G, 10C, GG) layout — no 100+ MB output transposes. Per-point flat
-    # index for channel j from slot = (x*GG + g)*C + c:
-    GG = G * G
+    # index for channel j from slot = (x*GG + g)*C + c (GG = G*gz lanes):
+    GG = G * gz
     slot = jnp.maximum(point_slot, 0)
     has = point_slot >= 0
     cell = slot // C

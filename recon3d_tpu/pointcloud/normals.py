@@ -139,9 +139,10 @@ def _grid_normals_pallas(points, valid, radius, grid_size, cell_capacity,
 
     p = jnp.asarray(points, jnp.float32)
     G, C = grid_size, cell_capacity
-    GG = G * G
+    gz = gk._lane_stride(G)
+    GG = G * gz
     pk, point_slot, _ = gk._bin_points_packed(p, valid, radius, G, C)
-    out = normals_pallas_core(pk, radius * radius, G, C, interpret)
+    out = normals_pallas_core(pk, radius * radius, G, C, interpret, gz=gz)
     # packed (G, 4C, GG) rows [nx, ny, nz, cnt]; per-point readback of the
     # 3 normal channels from slot = (x*GG + g)*C + c:
     slot = jnp.maximum(point_slot, 0)
@@ -161,6 +162,41 @@ def _grid_normals_pallas(points, valid, radius, grid_size, cell_capacity,
 
 
 @partial(jax.jit, static_argnames=("max_nn", "grid_size", "cell_capacity"))
+def _normals_only(points, valid, radius, max_nn, grid_size, cell_capacity):
+    """The jitted core of estimate_normals: returns ONLY the (N, 3)
+    normals. Keeping points/valid out of the output pytree avoids the
+    input->output passthrough copies a whole-PointCloud jit pays on every
+    call (~20 ms at 1M points on the axon TPU backend)."""
+    N = points.shape[0]
+    if N > 32768:
+        # moment-accumulation path: neighborhoods within `radius` are
+        # folded directly into count/mean/covariance — no neighbor index
+        # lists, so 1M+ points fit comfortably on-chip. Includes the query
+        # point itself (Open3D's KNN does too); grid coverage is
+        # grid_size * radius per axis from the cloud's min corner. On TPU
+        # the Pallas slab kernel runs (VMEM-resident accumulation); the
+        # XLA roll/einsum twin covers other backends.
+        if jax.default_backend() == "tpu":
+            return _grid_normals_pallas(points, valid, radius,
+                                        grid_size, cell_capacity)
+        from recon3d_tpu.ops.grid_knn import grid_pca_moments
+
+        C = grid_pca_moments(points, valid, radius,
+                             grid_size=grid_size,
+                             cell_capacity=cell_capacity)[2]
+        cov6 = jnp.stack([C[:, 0, 0], C[:, 1, 1], C[:, 2, 2],
+                          C[:, 0, 1], C[:, 0, 2], C[:, 1, 2]], -1)
+        return _smallest_eigvec_cov6(cov6)
+    idx, d2, ok = _knn.hybrid_knn(points, valid, radius, max_nn=max_nn)
+    nbrs = points[idx]  # (N, K, 3)
+    w = ok.astype(jnp.float32)[..., None]
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mean = jnp.sum(nbrs * w, axis=1) / cnt
+    d = (nbrs - mean[:, None, :]) * w
+    C = jnp.einsum("nki,nkj->nij", d, d) / cnt[..., None]
+    return _smallest_eigvec_3x3(C)
+
+
 def estimate_normals(
     pc: PointCloud,
     radius: float = 0.05,
@@ -175,38 +211,13 @@ def estimate_normals(
     binned moments path — exact for neighbors within `radius`, which is
     all the hybrid search keeps anyway. On TPU that path is the fused
     Pallas moments+eigen-solve kernel (ops.grid_knn_pallas /
-    _grid_normals_pallas): 1M points in ~134 ms on one v5e at
-    radius=0.02/G=64/C=16 (driver-recorded in BENCH_r02; the reference's
-    CUDA path is normal_estimation.py:19-21)."""
-    if pc.capacity > 32768:
-        # moment-accumulation path: neighborhoods within `radius` are
-        # folded directly into count/mean/covariance — no neighbor index
-        # lists, so 1M+ points fit comfortably on-chip. Includes the query
-        # point itself (Open3D's KNN does too); grid coverage is
-        # grid_size * radius per axis from the cloud's min corner. On TPU
-        # the Pallas slab kernel runs (VMEM-resident accumulation); the
-        # XLA roll/einsum twin covers other backends.
-        if jax.default_backend() == "tpu":
-            normals = _grid_normals_pallas(pc.points, pc.valid, radius,
-                                           grid_size, cell_capacity)
-        else:
-            from recon3d_tpu.ops.grid_knn import grid_pca_moments
-
-            C = grid_pca_moments(pc.points, pc.valid, radius,
-                                 grid_size=grid_size,
-                                 cell_capacity=cell_capacity)[2]
-            cov6 = jnp.stack([C[:, 0, 0], C[:, 1, 1], C[:, 2, 2],
-                              C[:, 0, 1], C[:, 0, 2], C[:, 1, 2]], -1)
-            normals = _smallest_eigvec_cov6(cov6)
-        return dataclasses.replace(pc, normals=normals)
-    idx, d2, ok = _knn.hybrid_knn(pc.points, pc.valid, radius, max_nn=max_nn)
-    nbrs = pc.points[idx]  # (N, K, 3)
-    w = ok.astype(jnp.float32)[..., None]
-    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    mean = jnp.sum(nbrs * w, axis=1) / cnt
-    d = (nbrs - mean[:, None, :]) * w
-    C = jnp.einsum("nki,nkj->nij", d, d) / cnt[..., None]
-    normals = _smallest_eigvec_3x3(C)
+    _grid_normals_pallas); with a data-sized grid (52 cells cover a unit
+    cube at radius 0.02) 1M points run in <100 ms on one v5e
+    (driver-recorded in BENCH_r02; the reference's CUDA path is
+    normal_estimation.py:19-21). Traceable inside outer jits; as a
+    top-level call only the normals cross the device boundary."""
+    normals = _normals_only(pc.points, pc.valid, radius, max_nn,
+                            grid_size, cell_capacity)
     return dataclasses.replace(pc, normals=normals)
 
 

@@ -136,6 +136,31 @@ class TestGridMomentsPallas:
                           c0[:, 0, 1], c0[:, 0, 2], c0[:, 1, 2]], -1)
         np.testing.assert_allclose(np.asarray(c6), want6, atol=1e-5)
 
+    def test_padded_lane_stride_matches_xla_twin(self):
+        """Grid sizes whose (y, z) plane is not a 128-lane multiple get a
+        padded z stride (grid_knn._lane_stride; G=12 -> gz=32 here): dead
+        lanes must never contribute and results must equal the XLA twin."""
+        import jax.numpy as jnp
+
+        from recon3d_tpu.ops import grid_knn as gk
+        from recon3d_tpu.ops.grid_knn_pallas import grid_pca_moments_pallas
+
+        assert gk._lane_stride(12) == 32
+        assert gk._lane_stride(64) == 64
+        rng = np.random.RandomState(5)
+        pts = jnp.asarray(rng.rand(3000, 3) * 0.55, jnp.float32)
+        valid = jnp.asarray(rng.rand(3000) > 0.05)
+        kw = dict(grid_size=12, cell_capacity=16)
+        n0, m0, c0 = gk.grid_pca_moments(pts, valid, 0.05, **kw)
+        n1, m1, c6 = grid_pca_moments_pallas(pts, valid, 0.05,
+                                             interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(n1), np.asarray(n0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-5)
+        c0 = np.asarray(c0)
+        want6 = np.stack([c0[:, 0, 0], c0[:, 1, 1], c0[:, 2, 2],
+                          c0[:, 0, 1], c0[:, 0, 2], c0[:, 1, 2]], -1)
+        np.testing.assert_allclose(np.asarray(c6), want6, atol=1e-5)
+
     def test_channelwise_eig_matches_matrix_eig(self):
         import jax.numpy as jnp
 

@@ -1,0 +1,58 @@
+"""Single-measurement point-op benchmark, run as its own process.
+
+bench.py shells out here for the large-N normal-estimation extras: the
+axon TPU backend intermittently rejects (InvalidArgument) loading a
+second Pallas executable into a process that already ran one with a
+lane-padded layout, while one-program-per-process runs are reliable.
+Prints one JSON line: {"ms": <avg over reps>}.
+
+Reference scale target: test/gpu-performance.py:23-46 (10M-point ops).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("op", choices=["normals"])
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--radius", type=float, default=0.02)
+    ap.add_argument("--grid", type=int, default=52)
+    ap.add_argument("--cap", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from recon3d_tpu.pointcloud.normals import estimate_normals
+    from recon3d_tpu.utils.types import PointCloud
+
+    rng = np.random.RandomState(0)
+    pc = PointCloud(points=jnp.asarray(rng.rand(args.n, 3), jnp.float32),
+                    valid=jnp.ones((args.n,), bool))
+    f = lambda p: estimate_normals(p, radius=args.radius, max_nn=30,
+                                   grid_size=args.grid,
+                                   cell_capacity=args.cap)
+    _ = float(jnp.sum(f(pc).normals))  # compile + warm
+    t0 = time.perf_counter()
+    for _i in range(args.reps):
+        out = f(pc)
+    _ = float(jnp.sum(out.normals))
+    ms = (time.perf_counter() - t0) / args.reps * 1e3
+    print(json.dumps({"ms": round(ms, 1)}))
+
+
+if __name__ == "__main__":
+    main()
