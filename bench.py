@@ -252,29 +252,31 @@ def main():
     # ---- large-N point ops: the reference's only benchmark was a CUDA
     # voxel downsample of 10M random points (test/gpu-performance.py:23-46);
     # normals at 1M exercise the voxel-binned kNN path
-    from recon3d_tpu.pointcloud.voxel import voxel_downsample
-    from recon3d_tpu.utils.types import PointCloud
+    # guarded: a failure in the side benchmarks must never lose the
+    # headline fps/RMSE line. All large-N point ops run one-per-subprocess
+    # via tools/bench_pointops.py: the axon backend intermittently rejects
+    # (InvalidArgument) loading another executable into a process that has
+    # already run the depth pipeline's Pallas programs, while
+    # one-program-per-process runs are reliable.
+    import subprocess
 
-    # guarded: a failure in the side benchmarks (e.g. the remote compile
-    # helper getting OOM-killed on the 10M-point program under memory
-    # pressure) must never lose the headline fps/RMSE line
-    rng = np.random.RandomState(0)
+    def _sub_pointop(*cli):
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools", "bench_pointops.py"),
+             *[str(c) for c in cli]],
+            capture_output=True, text=True, timeout=3600)
+        return json.loads(r.stdout.strip().splitlines()[-1])["ms"]
+
     ms_vd10m = ms_n1m = None
     try:
-        pc10m = PointCloud(points=jnp.asarray(rng.rand(10_000_000, 3),
-                                              jnp.float32),
-                           valid=jnp.ones((10_000_000,), bool))
         # explicit output capacity: the unit cube at voxel 0.05 holds at
         # most 21^3 ~ 9.3k occupied voxels; the old default (capacity=N)
         # made the compact buffers 10M wide, which is what OOM-killed the
         # round-1 remote compile helper
-        vd = jax.jit(lambda p: voxel_downsample(p, 0.05, capacity=1 << 14))
-        _ = float(jnp.sum(vd(pc10m).valid))
-        t0 = time.perf_counter()
-        for _i in range(3):
-            out10 = vd(pc10m)
-        _ = float(jnp.sum(out10.valid))
-        ms_vd10m = round((time.perf_counter() - t0) / 3 * 1e3, 1)
+        ms_vd10m = _sub_pointop("voxel", "--n", 10_000_000,
+                                "--voxel-size", 0.05,
+                                "--capacity", 1 << 14)
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# voxel 10M extra skipped: {type(e).__name__}", flush=True)
 
@@ -309,25 +311,11 @@ def main():
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# streaming extra skipped: {type(e).__name__}", flush=True)
 
-    # normals extras run one-per-subprocess (tools/bench_pointops.py):
-    # the axon backend intermittently refuses to load a second Pallas
-    # executable into a process that already ran a lane-padded one, and
-    # this process has run the whole depth pipeline's kernels
-    import subprocess
-
-    def _sub_normals(n, radius, grid, cap):
-        r = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "tools", "bench_pointops.py"),
-             "normals", "--n", str(n), "--radius", str(radius),
-             "--grid", str(grid), "--cap", str(cap)],
-            capture_output=True, text=True, timeout=3600)
-        return json.loads(r.stdout.strip().splitlines()[-1])["ms"]
-
     try:
         # grid sized to the data: 52 cells * 0.02 cover the unit cube
         # (a 64 grid spans 1.28 and wastes 45% of the slab work)
-        ms_n1m = _sub_normals(1_000_000, 0.02, 52, 16)
+        ms_n1m = _sub_pointop("normals", "--n", 1_000_000,
+                              "--radius", 0.02, "--grid", 52, "--cap", 16)
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# normals 1M extra skipped: {type(e).__name__}", flush=True)
 
@@ -337,7 +325,9 @@ def main():
         # (test/gpu-performance.py:23-46 uses 10M random unit-cube points):
         # radius shrinks so the 128-cell grid spans the cube (128*0.008 =
         # 1.024) and mean cell occupancy stays ~5 of capacity 16
-        ms_n10m = _sub_normals(10_000_000, 0.008, 128, 16)
+        ms_n10m = _sub_pointop("normals", "--n", 10_000_000,
+                               "--radius", 0.008, "--grid", 128,
+                               "--cap", 16)
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# normals 10M extra skipped: {type(e).__name__}", flush=True)
 

@@ -155,6 +155,11 @@ def register_pairs_sharded(
                                       method=method,
                                       max_iterations=max_iterations)
 
+    # check_vma off for the same reason as batched_depth above: the ICP
+    # while_loop carries unvaried init buffers and JAX's manual-axes error
+    # directs check_vma=False; tests/test_parallel.py
+    # test_sharded_pairs_match_and_stay_sharded asserts the sharded result
+    # equals the unsharded batched program (the property the check guards)
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),

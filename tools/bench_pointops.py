@@ -24,32 +24,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["normals"])
+    ap.add_argument("op", choices=["normals", "voxel"])
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--radius", type=float, default=0.02)
     ap.add_argument("--grid", type=int, default=52)
     ap.add_argument("--cap", type=int, default=16)
+    ap.add_argument("--voxel-size", type=float, default=0.05)
+    ap.add_argument("--capacity", type=int, default=1 << 14)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     import numpy as np
     import jax
+
+    # sitecustomize imports jax and registers the axon backend before this
+    # module runs, so JAX_PLATFORMS alone is not honored — mirror the env
+    # var into the config (same pattern as cli.py / conftest.py)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     import jax.numpy as jnp
 
-    from recon3d_tpu.pointcloud.normals import estimate_normals
     from recon3d_tpu.utils.types import PointCloud
 
     rng = np.random.RandomState(0)
     pc = PointCloud(points=jnp.asarray(rng.rand(args.n, 3), jnp.float32),
                     valid=jnp.ones((args.n,), bool))
-    f = lambda p: estimate_normals(p, radius=args.radius, max_nn=30,
-                                   grid_size=args.grid,
-                                   cell_capacity=args.cap)
-    _ = float(jnp.sum(f(pc).normals))  # compile + warm
+    if args.op == "normals":
+        from recon3d_tpu.pointcloud.normals import estimate_normals
+        f = lambda p: estimate_normals(p, radius=args.radius, max_nn=30,
+                                       grid_size=args.grid,
+                                       cell_capacity=args.cap)
+        sync = lambda o: jnp.sum(o.normals)
+    else:
+        # the reference's only benchmark: CUDA voxel downsample of 10M
+        # random unit-cube points (test/gpu-performance.py:23-46)
+        from recon3d_tpu.pointcloud.voxel import voxel_downsample
+        f = jax.jit(lambda p: voxel_downsample(p, args.voxel_size,
+                                               capacity=args.capacity))
+        sync = lambda o: jnp.sum(o.valid)
+    _ = float(sync(f(pc)))  # compile + warm
     t0 = time.perf_counter()
     for _i in range(args.reps):
         out = f(pc)
-    _ = float(jnp.sum(out.normals))
+    _ = float(sync(out))
     ms = (time.perf_counter() - t0) / args.reps * 1e3
     print(json.dumps({"ms": round(ms, 1)}))
 
