@@ -284,7 +284,7 @@ def main():
     # SLAM): threaded producer/consumer on the golden 640x480 RealSense
     # replay, odometry+TSDF integrate per frame as ONE donated device
     # program (no per-frame host syncs). Measured after warm-up.
-    streaming_fps = None
+    streaming_fps = streaming_step_ms = streaming_put_ms = None
     try:
         from recon3d_tpu.camera.fake import FakeRGBDCamera
         from recon3d_tpu.config import ScannerConfig
@@ -308,6 +308,29 @@ def main():
         sf.stop()
         if n1 > n0:
             streaming_fps = round((n1 - n0) / (t1 - t0), 2)
+
+        # attribute the threaded number: time the fused odometry+integrate
+        # device program and the per-frame host->HBM transfer in isolation.
+        # On the tunneled axon chip the RPC transfer dominates the threaded
+        # fps; these two extras separate device capability from link cost.
+        if sf._step is not None and sf._state is not None:
+            s_cam2 = FakeRGBDCamera("/root/reference/test/output")
+            s_cam2.open()
+            f_c, f_d = s_cam2.grab()
+            t0 = time.perf_counter()
+            for _i in range(10):
+                dc, dd = jax.device_put(f_c), jax.device_put(f_d)
+            _ = float(jnp.sum(dd))
+            streaming_put_ms = round((time.perf_counter() - t0) / 10 * 1e3,
+                                     2)
+            vol, st = sf.volume, sf._state
+            wfc = None
+            t0 = time.perf_counter()
+            for _i in range(10):
+                vol, st, wfc = sf._step(vol, st, dc, dd)
+            _ = float(jnp.sum(wfc))
+            streaming_step_ms = round((time.perf_counter() - t0) / 10 * 1e3,
+                                      2)
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# streaming extra skipped: {type(e).__name__}", flush=True)
 
@@ -358,6 +381,8 @@ def main():
             "normals_1m_ms": ms_n1m,
             "normals_10m_ms": ms_n10m,
             "streaming_fps": streaming_fps,
+            "streaming_step_ms": streaming_step_ms,
+            "streaming_put_ms": streaming_put_ms,
         },
     }))
 
