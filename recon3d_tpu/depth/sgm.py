@@ -22,10 +22,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from recon3d_tpu.utils.vma import vary_like
 
-BIG = jnp.float32(1e9)
+BIG = np.float32(1e9)  # numpy: no device op at import time
 
 
 def _sgm_step(carry, c, P1, P2):

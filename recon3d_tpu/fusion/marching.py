@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from recon3d_tpu.fusion.tsdf import TSDFVolume
 from recon3d_tpu.utils.types import TriangleMesh
@@ -35,8 +36,8 @@ _TETS = (
     (0, 6, 4, 7),
     (0, 4, 5, 7),
 )
-_CORNER_OFFSETS = jnp.array(
-    [[(c & 1), ((c >> 1) & 1), ((c >> 2) & 1)] for c in range(8)], jnp.float32
+_CORNER_OFFSETS = _np.array(  # numpy: no device op at import time
+    [[(c & 1), ((c >> 1) & 1), ((c >> 2) & 1)] for c in range(8)], _np.float32
 )
 
 
@@ -144,7 +145,7 @@ def extract_triangle_soup(
         valids = []
         for tet in _TETS:
             pv = jnp.stack([vals[..., c] for c in tet], -1)  # (X,Y,Z,4)
-            pp = (base[..., None, :] + _CORNER_OFFSETS[jnp.array(tet)]) \
+            pp = (base[..., None, :] + _CORNER_OFFSETS[_np.array(tet)]) \
                 * vol.voxel_size + vol.origin  # (X,Y,Z,4,3)
             ta, tb, va, vb = _tet_triangles(pp, pv, ok)
             tris.append(ta)

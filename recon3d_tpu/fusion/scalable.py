@@ -37,9 +37,9 @@ from recon3d_tpu.utils.types import CameraIntrinsics
 
 logger = logging.getLogger("recon3d_tpu.fusion.scalable")
 
-EMPTY = jnp.int32(-1)
+EMPTY = np.int32(-1)  # numpy: no device op at import time
 _KEY_BIAS = 512  # brick coords in [-512, 512) pack into 10 bits each
-_KEY_EMPTY = jnp.int32(2 ** 30)  # sorts after every real key
+_KEY_EMPTY = np.int32(2 ** 30)  # sorts after every real key
 
 
 def _pytree(cls):

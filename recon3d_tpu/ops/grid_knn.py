@@ -28,8 +28,9 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.float32(1e30)
+BIG = np.float32(1e30)  # numpy: no device op at import time
 
 
 class GridKNNResult(NamedTuple):

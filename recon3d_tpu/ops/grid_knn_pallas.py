@@ -37,12 +37,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from recon3d_tpu.ops import grid_knn as gk
 
-BIG = jnp.float32(1e30)
+BIG = np.float32(1e30)  # numpy: no device op at import time
 
 
 def _mk_kernel(G: int, C: int, fuse_eig: bool = False, gz: int | None = None):

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_FAR = jnp.float32(1e30)
+_FAR = np.float32(1e30)  # numpy: no device op at import time
 
 
 @partial(jax.jit, static_argnames=("height", "width", "splat"))

@@ -13,17 +13,18 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from recon3d_tpu.utils.types import CameraIntrinsics, PointCloud
 
 # Open3D's RGBD pipeline flips to this camera convention before visualizing
 # (test/mini1.py:170 flip transform [[1,0,0,0],[0,-1,0,0],[0,0,-1,0],[0,0,0,1]])
-FLIP_TRANSFORM = jnp.array([
+FLIP_TRANSFORM = np.array([  # numpy: no device op at import time
     [1.0, 0.0, 0.0, 0.0],
     [0.0, -1.0, 0.0, 0.0],
     [0.0, 0.0, -1.0, 0.0],
     [0.0, 0.0, 0.0, 1.0],
-], jnp.float32)
+], np.float32)
 
 
 def backproject_depth(
