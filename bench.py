@@ -285,6 +285,7 @@ def main():
     # replay, odometry+TSDF integrate per frame as ONE donated device
     # program (no per-frame host syncs). Measured after warm-up.
     streaming_fps = streaming_step_ms = streaming_put_ms = None
+    mesh_extract_ms = None
     try:
         from recon3d_tpu.camera.fake import FakeRGBDCamera
         from recon3d_tpu.config import ScannerConfig
@@ -331,6 +332,17 @@ def main():
             _ = float(jnp.sum(wfc))
             streaming_step_ms = round((time.perf_counter() - t0) / 10 * 1e3,
                                       2)
+
+            # fused volume -> triangle mesh (marching tetrahedra) on-device:
+            # the streaming pipeline's mesh-extraction stage (check90.py's
+            # extract_triangle_mesh consumer; BASELINE config #5)
+            from recon3d_tpu.fusion import marching as _marching
+            mesh = _marching.extract_triangle_mesh(vol)  # compile + warm
+            _ = float(jnp.sum(mesh.vertices))
+            t0 = time.perf_counter()
+            mesh = _marching.extract_triangle_mesh(vol)
+            _ = float(jnp.sum(mesh.vertices))
+            mesh_extract_ms = round((time.perf_counter() - t0) * 1e3, 1)
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# streaming extra skipped: {type(e).__name__}", flush=True)
 
@@ -383,6 +395,7 @@ def main():
             "streaming_fps": streaming_fps,
             "streaming_step_ms": streaming_step_ms,
             "streaming_put_ms": streaming_put_ms,
+            "mesh_extract_256_ms": mesh_extract_ms,
         },
     }))
 
