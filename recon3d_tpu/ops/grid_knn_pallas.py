@@ -177,7 +177,7 @@ def moments_pallas_core(pk, r2, G, C, interpret=False, gz=None):
 def normals_pallas_core(pk, r2, G, C, interpret=False, gz=None):
     """Fused moments + PCA eigen-solve: same input as moments_pallas_core,
     but the covariance normalization and smallest-eigenvector solve run
-    inside the kernel on VMEM-resident planes. Returns (G, 4C, G*G) packed
+    inside the kernel on VMEM-resident planes. Returns (G, 4C, G*gz) packed
     [nx, ny, nz, count] channel rows in slot layout."""
     return _core_call(pk, r2, G, C, interpret, fuse_eig=True, gz=gz)
 
