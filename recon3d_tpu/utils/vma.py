@@ -22,5 +22,8 @@ def vary_like(x: jax.Array, like: jax.Array) -> jax.Array:
         missing = tuple(a for a in vma
                         if a not in getattr(jax.typeof(x), "vma", frozenset()))
         if missing:
+            # pcast(..., to='varying') supersedes the deprecated pvary
+            if hasattr(jax.lax, "pcast"):
+                return jax.lax.pcast(x, missing, to="varying")
             return jax.lax.pvary(x, missing)
     return x
