@@ -212,8 +212,8 @@ def estimate_normals(
     all the hybrid search keeps anyway. On TPU that path is the fused
     Pallas moments+eigen-solve kernel (ops.grid_knn_pallas /
     _grid_normals_pallas); with a data-sized grid (52 cells cover a unit
-    cube at radius 0.02) 1M points run in <100 ms on one v5e
-    (driver-recorded in BENCH_r02; the reference's CUDA path is
+    cube at radius 0.02) 1M points measured 89 ms on one v5e
+    (bench.py `normals_1m_ms`; the reference's CUDA path is
     normal_estimation.py:19-21). Traceable inside outer jits; as a
     top-level call only the normals cross the device boundary."""
     normals = _normals_only(pc.points, pc.valid, radius, max_nn,
