@@ -190,3 +190,41 @@ def extract_point_cloud(vol: TSDFVolume, capacity: int = 1 << 18,
         colors=None if cols is None else cols[order],
         valid=jnp.arange(capacity) < jnp.minimum(n_valid, capacity),
     )
+
+
+def save_volume(path: str, vol: TSDFVolume) -> str:
+    """Checkpoint a TSDF volume to one compressed NPZ.
+
+    The reference's only mid-scan persistence is per-frame PNG dumps that
+    must be fully re-integrated to resume (check84.py save/reload); a
+    volume checkpoint resumes fusion without replaying the stream. Mostly-
+    empty grids compress well (a fresh 256^3 volume is ~300 KB on disk).
+    """
+    import numpy as np
+
+    d = {
+        "tsdf": np.asarray(vol.tsdf),
+        "weight": np.asarray(vol.weight),
+        "origin": np.asarray(vol.origin),
+        "voxel_size": np.asarray(vol.voxel_size),
+        "sdf_trunc": np.asarray(vol.sdf_trunc),
+    }
+    if vol.color is not None:
+        d["color"] = np.asarray(vol.color)
+    np.savez_compressed(path, **d)
+    return path
+
+
+def load_volume(path: str) -> TSDFVolume:
+    """Load a save_volume checkpoint back into device arrays."""
+    import numpy as np
+
+    with np.load(path) as d:
+        return TSDFVolume(
+            tsdf=jnp.asarray(d["tsdf"]),
+            weight=jnp.asarray(d["weight"]),
+            color=jnp.asarray(d["color"]) if "color" in d else None,
+            origin=jnp.asarray(d["origin"]),
+            voxel_size=jnp.asarray(d["voxel_size"]),
+            sdf_trunc=jnp.asarray(d["sdf_trunc"]),
+        )

@@ -265,6 +265,49 @@ class StreamingFusion:
         mesh = mops.cleanup(mesh)
         return mops.compute_vertex_normals(mesh)
 
+    # ---- crash-safe checkpoint/resume: one compressed NPZ holds the
+    # volume, the device-resident tracking state and the trajectory, so a
+    # scan resumes mid-stream without re-integrating saved frames (the
+    # reference's only resume path, check84.py/check90.py:408-463, replays
+    # every PNG pair from disk)
+    def save_checkpoint(self, path: str) -> str:
+        """Snapshot volume + tracking state + trajectory. Call between
+        frames (stopped, or from the fusion thread's cadence) — not
+        concurrently with an in-flight _fuse_one on another thread."""
+        d = {
+            "tsdf": np.asarray(self.volume.tsdf),
+            "weight": np.asarray(self.volume.weight),
+            "origin": np.asarray(self.volume.origin),
+            "voxel_size": np.asarray(self.volume.voxel_size),
+            "sdf_trunc": np.asarray(self.volume.sdf_trunc),
+            "frames_integrated": np.int64(self.frames_integrated),
+            "trajectory": (np.stack([np.asarray(t) for t in self.trajectory])
+                           if self.trajectory
+                           else np.zeros((0, 4, 4), np.float32)),
+        }
+        if self.volume.color is not None:
+            d["color"] = np.asarray(self.volume.color)
+        if self._state is not None:
+            for name, leaf in zip(_TrackState._fields, self._state):
+                d[f"state_{name}"] = np.asarray(leaf)
+        np.savez_compressed(path, **d)
+        return path
+
+    def restore_checkpoint(self, path: str) -> "StreamingFusion":
+        """Restore a save_checkpoint snapshot into this (fresh) instance;
+        the next frame continues tracking against the restored keyframe."""
+        from recon3d_tpu.fusion.tsdf import load_volume
+
+        self.volume = load_volume(path)
+        with np.load(path) as d:
+            self.frames_integrated = int(d["frames_integrated"])
+            self.trajectory = [jnp.asarray(t) for t in d["trajectory"]]
+            if "state_world_from_cam" in d:
+                self._state = _TrackState(*(
+                    jnp.asarray(d[f"state_{name}"])
+                    for name in _TrackState._fields))
+        return self
+
 
 def integrate_saved_frames(directory: str, intrinsics: CameraIntrinsics,
                            config: ScannerConfig = ScannerConfig(),

@@ -329,3 +329,44 @@ class TestStreamingThroughput:
         pipe_rate = sf.frames_integrated / elapsed
         assert pipe_rate > 0.4 * kernel_rate, (
             f"pipeline {pipe_rate:.2f} fps vs kernels {kernel_rate:.2f} fps")
+
+
+class TestStreamingCheckpoint:
+    def test_checkpoint_resume_matches_uninterrupted(self, tmp_path):
+        """save_checkpoint at frame 3 + restore + 2 more frames must equal
+        an uninterrupted 5-frame run bit-for-bit (state and volume round-
+        trip through host numpy, fusion math is deterministic)."""
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+
+        cam = _cam(5, step=0.01)
+        cam.open()
+        frames = [cam.grab() for _ in range(5)]
+        cfg = _small_cfg(tmp_path)
+        kw = dict(resolution=96, volume_origin=(-0.72, -0.72, 0.3))
+
+        a = StreamingFusion(None, _intr(), cfg, **kw)
+        for c, d in frames:
+            a._fuse_one(jnp.asarray(c), jnp.asarray(d), cfg.fusion)
+
+        b = StreamingFusion(None, _intr(), cfg, **kw)
+        for c, d in frames[:3]:
+            b._fuse_one(jnp.asarray(c), jnp.asarray(d), cfg.fusion)
+        ck = b.save_checkpoint(str(tmp_path / "scan_ckpt.npz"))
+
+        r = StreamingFusion(None, _intr(), cfg, **kw).restore_checkpoint(ck)
+        assert r.frames_integrated == 3
+        for c, d in frames[3:]:
+            r._fuse_one(jnp.asarray(c), jnp.asarray(d), cfg.fusion)
+
+        assert r.frames_integrated == 5
+        assert len(r.trajectory) == len(a.trajectory) == 5
+        np.testing.assert_allclose(np.asarray(r._state.world_from_cam),
+                                   np.asarray(a._state.world_from_cam),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r.volume.tsdf),
+                                   np.asarray(a.volume.tsdf), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r.volume.weight),
+                                   np.asarray(a.volume.weight), atol=1e-6)
+        # and the resumed volume still meshes
+        mesh = r.extract_mesh()
+        assert int(np.sum(np.asarray(mesh.vertex_valid))) > 0
