@@ -82,6 +82,12 @@ def main(argv=None):
     for name in ("scan", "offline", "fuse"):
         sp = sub.add_parser(name)
         _add_common(sp)
+        if name == "fuse":
+            sp.add_argument("--resume", default=None, metavar="CKPT",
+                            help="resume fusion from a save_checkpoint NPZ")
+            sp.add_argument("--checkpoint", default=None, metavar="CKPT",
+                            help="write a volume+tracking checkpoint here "
+                                 "after the run (resumable with --resume)")
 
     cp = sub.add_parser("calibrate")
     cp.add_argument("--folder", required=True)
@@ -184,10 +190,17 @@ def main(argv=None):
             bank = DepthFilterBank(decimation=0, hole_fill="left")
         sf = StreamingFusion(cam, intr, cfg,
                              resolution=cfg.fusion.grid_resolution,
-                             depth_filters=bank).start()
-        while any(t.is_alive() for t in sf._threads) and sf.frames_integrated < args.frames:
+                             depth_filters=bank)
+        if args.resume:
+            sf.restore_checkpoint(args.resume)
+            print(f"resumed at frame {sf.frames_integrated} from {args.resume}")
+        target = sf.frames_integrated + args.frames
+        sf.start()
+        while any(t.is_alive() for t in sf._threads) and sf.frames_integrated < target:
             time.sleep(0.25)
         sf.stop()
+        if args.checkpoint:
+            print(f"checkpoint -> {sf.save_checkpoint(args.checkpoint)}")
         mesh = sf.extract_mesh()
         from recon3d_tpu.utils import io as _io
 
