@@ -297,7 +297,7 @@ def main():
             fx=jnp.float32(616.63), fy=jnp.float32(616.31),
             cx=jnp.float32(312.58), cy=jnp.float32(242.22))
         sf = StreamingFusion(s_cam, s_intr, ScannerConfig(),
-                             resolution=256).start()
+                             resolution=256, consume_batch=8).start()
         deadline = time.perf_counter() + 600.0
         while sf.frames_integrated < 5 and time.perf_counter() < deadline:
             time.sleep(0.1)  # warm-up: first frames pay the compiles

@@ -58,7 +58,7 @@ class StreamingFusion:
                  resolution: int = 256, volume_origin=None,
                  queue_size: int = 10, tracking: str = "keyframe",
                  keyframe_min_inliers: float = 0.85, profile: bool = False,
-                 depth_filters=None):
+                 depth_filters=None, consume_batch: int = 1):
         self.camera = camera
         self.intrinsics = intrinsics
         self.config = config
@@ -76,6 +76,13 @@ class StreamingFusion:
         self._host_failures = 0  # exceptions in the fusion loop
         self._state: Optional[_TrackState] = None
         self._step = None  # jitted on-device track+integrate, built lazily
+        # consume_batch > 1: queue backlogs fuse as one lax.scan program
+        # over consume_batch frames, amortizing per-dispatch latency (an
+        # RPC round-trip on tunneled backends) at the cost of one extra
+        # compile and up to batch-1 frames of pose latency. Default off —
+        # right for short scans and latency-sensitive live views
+        self._consume_batch = max(1, int(consume_batch))
+        self._step_batch = None
         self._threads: List[threading.Thread] = []
         # Keyframe tracking: register each frame against a reference
         # keyframe instead of the previous frame, so per-step odometry bias
@@ -131,15 +138,25 @@ class StreamingFusion:
         cfg = self.config.fusion
         while not (self.stop_event.is_set() and self.queue.empty()):
             try:
-                color, depth = self.queue.get(timeout=0.5)
+                frames = [self.queue.get(timeout=0.5)]
             except queue.Empty:
                 continue
+            # drain whatever else is queued (up to the batch cap): a
+            # backlog fuses as ONE scanned device program instead of one
+            # dispatch per frame (_build_step_batch)
+            while len(frames) < self._consume_batch:
+                try:
+                    frames.append(self.queue.get_nowait())
+                except queue.Empty:
+                    break
             try:
-                self._fuse_one(color, depth, cfg)
-                fps.tick()
+                self._fuse_frames(frames, cfg)
+                for _ in frames:
+                    fps.tick()
             except Exception:  # keep the stream alive (check82-style)
                 self._host_failures += 1
-                self.logger.exception("fusion step failed; frame dropped")
+                self.logger.exception("fusion step failed; %d frame(s) "
+                                      "dropped", len(frames))
 
     # ---- attribute compatibility: these sync on ACCESS (end-of-run /
     # tests), never on the per-frame consumer path
@@ -154,13 +171,13 @@ class StreamingFusion:
             return np.eye(4, dtype=np.float32)
         return np.asarray(self._state.world_from_cam)
 
-    def _build_step(self, cfg):
-        """One jitted program per frame: depth filter -> odometry vs the
-        device-resident keyframe -> accept/promote selects (lax, no host
-        bool()) -> pose update -> donated TSDF integrate. The volume AND
-        the tracking state are donated, so steady-state streaming allocates
-        nothing and never blocks on a device round-trip (check90.py:188-226
-        consumer semantics, minus the reference's per-frame host math)."""
+    def _make_step_fn(self, cfg):
+        """The per-frame consumer as a pure function: depth filter ->
+        odometry vs the device-resident keyframe -> accept/promote selects
+        (lax, no host bool()) -> pose update -> TSDF integrate. Jitted
+        per-frame by _build_step and scanned in batches by
+        _build_step_batch (check90.py:188-226 consumer semantics, minus
+        the reference's per-frame host math)."""
         intr = self.intrinsics
         promote_below = self._promote_below
         depth_filters = self.depth_filters
@@ -199,7 +216,67 @@ class StreamingFusion:
                 depth_trunc=depth_trunc)
             return new_volume, new_state, wfc
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
+
+    def _build_step(self, cfg):
+        """Jit of the per-frame step; volume AND tracking state donated,
+        so steady-state streaming allocates nothing and never blocks on a
+        device round-trip."""
+        return jax.jit(self._make_step_fn(cfg), donate_argnums=(0, 1))
+
+    def _build_step_batch(self, cfg):
+        """lax.scan of the per-frame step over a stacked (B, ...) frame
+        batch: ONE device program tracks+integrates B frames, so per-
+        dispatch latency (an RPC round-trip on tunneled backends, queue/
+        launch overhead everywhere) is paid once per B frames instead of
+        per frame. The scan carry threads exactly the same (volume,
+        state) a sequential loop would; results agree with per-frame
+        calls to float32 roundoff (XLA fuses the scanned body slightly
+        differently)."""
+        inner = self._make_step_fn(cfg)
+
+        def scan_step(carry, frame):
+            volume, state = carry
+            color, depth = frame
+            volume, state, wfc = inner(volume, state, color, depth)
+            return (volume, state), wfc
+
+        def run(volume, state, colors, depths):
+            (volume, state), wfcs = jax.lax.scan(
+                scan_step, (volume, state), (colors, depths))
+            return volume, state, wfcs
+
+        return jax.jit(run, donate_argnums=(0, 1))
+
+    def _fuse_frames(self, frames, cfg):
+        """Fuse a drained queue backlog: steady-state runs of exactly
+        `consume_batch` frames go through the scanned batch program (one
+        dispatch); the first frame and ragged remainders take the
+        per-frame step. Matches sequential _fuse_one calls to float32
+        roundoff."""
+        i = 0
+        B = self._consume_batch
+        while i < len(frames):
+            rest = len(frames) - i
+            if self._state is not None and B > 1 and rest >= B:
+                if self._step_batch is None:
+                    self._step_batch = self._build_step_batch(cfg)
+                colors = jnp.stack([jnp.asarray(c)
+                                    for c, _ in frames[i:i + B]])
+                depths = jnp.stack([jnp.asarray(d)
+                                    for _, d in frames[i:i + B]])
+                with self.timer.stage("fuse_step"):
+                    self.volume, self._state, wfcs = self._step_batch(
+                        self.volume, self._state, colors, depths)
+                    if self._profile:
+                        self.timer.sync(wfcs)
+                self.trajectory.extend(list(wfcs))
+                self.frames_integrated += B
+                i += B
+            else:
+                color, depth = frames[i]
+                self._fuse_one(color, depth, cfg)
+                i += 1
 
     def _fuse_one(self, color, depth, cfg):
         color = jnp.asarray(color)

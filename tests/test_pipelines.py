@@ -370,3 +370,39 @@ class TestStreamingCheckpoint:
         # and the resumed volume still meshes
         mesh = r.extract_mesh()
         assert int(np.sum(np.asarray(mesh.vertex_valid))) > 0
+
+
+class TestBatchedConsumer:
+    def test_batched_fuse_matches_sequential(self, tmp_path):
+        """A drained-queue batch through the scanned program must match
+        one-at-a-time _fuse_one calls (same carry threading; XLA fuses the
+        scanned body differently, so agreement is to float32 roundoff, not
+        bitwise)."""
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+
+        cam = _cam(6, step=0.01)
+        cam.open()
+        frames = [cam.grab() for _ in range(6)]
+        cfg = _small_cfg(tmp_path)
+        kw = dict(resolution=96, volume_origin=(-0.72, -0.72, 0.3))
+
+        seq = StreamingFusion(None, _intr(), cfg, consume_batch=1, **kw)
+        for c, d in frames:
+            seq._fuse_one(jnp.asarray(c), jnp.asarray(d), cfg.fusion)
+
+        bat = StreamingFusion(None, _intr(), cfg, consume_batch=4, **kw)
+        # frame 0 seats the keyframe singly; 1-4 run as one scanned batch;
+        # 5 is a ragged remainder through the per-frame step
+        bat._fuse_frames(frames, cfg.fusion)
+
+        assert bat.frames_integrated == seq.frames_integrated == 6
+        assert len(bat.trajectory) == 6
+        np.testing.assert_allclose(np.asarray(bat._state.world_from_cam),
+                                   np.asarray(seq._state.world_from_cam),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bat.volume.tsdf),
+                                   np.asarray(seq.volume.tsdf), atol=1e-4)
+        for k in range(6):
+            np.testing.assert_allclose(np.asarray(bat.trajectory[k]),
+                                       np.asarray(seq.trajectory[k]),
+                                       atol=1e-5)
