@@ -493,3 +493,40 @@ def extract_triangle_mesh(vol: ScalableTSDFVolume, window: int = 256):
         vertex_colors=None if cols is None else jnp.asarray(cols, jnp.float32),
     )
     return mops.cleanup(mesh)
+
+
+def save_scalable_volume(path: str, vol: ScalableTSDFVolume) -> str:
+    """Checkpoint the brick pool + hash table to one compressed NPZ (the
+    room-scale twin of tsdf.save_volume; resumes without stream replay)."""
+    d = {
+        "brick_keys": np.asarray(vol.brick_keys),
+        "table": np.asarray(vol.table),
+        "tsdf": np.asarray(vol.tsdf),
+        "weight": np.asarray(vol.weight),
+        "origin": np.asarray(vol.origin),
+        "voxel_size": np.asarray(vol.voxel_size),
+        "sdf_trunc": np.asarray(vol.sdf_trunc),
+        "n_alloc": np.asarray(vol.n_alloc),
+        "n_dropped": np.asarray(vol.n_dropped),
+    }
+    if vol.color is not None:
+        d["color"] = np.asarray(vol.color)
+    np.savez_compressed(path, **d)
+    return path
+
+
+def load_scalable_volume(path: str) -> ScalableTSDFVolume:
+    """Load a save_scalable_volume checkpoint back into device arrays."""
+    with np.load(path) as d:
+        return ScalableTSDFVolume(
+            brick_keys=jnp.asarray(d["brick_keys"]),
+            table=jnp.asarray(d["table"]),
+            tsdf=jnp.asarray(d["tsdf"]),
+            weight=jnp.asarray(d["weight"]),
+            origin=jnp.asarray(d["origin"]),
+            voxel_size=jnp.asarray(d["voxel_size"]),
+            sdf_trunc=jnp.asarray(d["sdf_trunc"]),
+            n_alloc=jnp.asarray(d["n_alloc"]),
+            n_dropped=jnp.asarray(d["n_dropped"]),
+            color=jnp.asarray(d["color"]) if "color" in d else None,
+        )

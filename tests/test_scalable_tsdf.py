@@ -202,3 +202,42 @@ class TestRoomScale:
             sc = scalable.integrate(sc, jnp.asarray(depth), intr, ext,
                                     depth_trunc=2.5, weight_max=4.0)
         assert float(np.max(np.asarray(sc.weight))) <= 4.0
+
+
+def test_scalable_checkpoint_roundtrip(tmp_path):
+    """save/load must preserve the brick pool, hash table and counters so
+    integration can continue; continuing after reload must equal an
+    uninterrupted run."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recon3d_tpu.fusion.scalable import (
+        integrate, load_scalable_volume, make_scalable_volume,
+        save_scalable_volume)
+    from recon3d_tpu.utils.types import CameraIntrinsics
+
+    intr = CameraIntrinsics(fx=jnp.float32(60.0), fy=jnp.float32(60.0),
+                            cx=jnp.float32(31.5), cy=jnp.float32(23.5))
+    rng = np.random.RandomState(0)
+    depths = [jnp.asarray(0.4 + 0.1 * rng.rand(48, 64).astype(np.float32))
+              for _ in range(3)]
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    a = make_scalable_volume(voxel_size=0.01, capacity=512, table_size=2048)
+    for d in depths:
+        a = integrate(a, d, intr, eye)
+
+    b = make_scalable_volume(voxel_size=0.01, capacity=512, table_size=2048)
+    for d in depths[:2]:
+        b = integrate(b, d, intr, eye)
+    ck = save_scalable_volume(str(tmp_path / "scalable.npz"), b)
+    r = load_scalable_volume(ck)
+    assert int(r.n_alloc) == int(b.n_alloc)
+    r = integrate(r, depths[2], intr, eye)
+
+    np.testing.assert_array_equal(np.asarray(r.brick_keys),
+                                  np.asarray(a.brick_keys))
+    np.testing.assert_allclose(np.asarray(r.tsdf), np.asarray(a.tsdf),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.weight), np.asarray(a.weight),
+                               atol=1e-6)
