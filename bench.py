@@ -314,6 +314,10 @@ def main():
         # device program and the per-frame host->HBM transfer in isolation.
         # On the tunneled axon chip the RPC transfer dominates the threaded
         # fps; these two extras separate device capability from link cost.
+        if sf._state is not None and sf._step is None:
+            # all steady-state frames may have gone through the batched
+            # program; the isolation measurement needs the per-frame step
+            sf._step = sf._build_step(ScannerConfig().fusion)
         if sf._step is not None and sf._state is not None:
             s_cam2 = FakeRGBDCamera("/root/reference/test/output")
             s_cam2.open()
