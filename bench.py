@@ -329,7 +329,10 @@ def main():
             streaming_put_ms = round((time.perf_counter() - t0) / 10 * 1e3,
                                      2)
             vol, st = sf.volume, sf._state
-            wfc = None
+            # warm outside the timed window (the per-frame step may never
+            # have compiled if every steady-state drain hit the batch path)
+            vol, st, wfc = sf._step(vol, st, dc, dd)
+            _ = float(jnp.sum(wfc))
             t0 = time.perf_counter()
             for _i in range(10):
                 vol, st, wfc = sf._step(vol, st, dc, dd)

@@ -38,3 +38,18 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 if not _ON_TPU:
     assert jax.devices()[0].platform == "cpu", "tests must run on the virtual CPU mesh"
     assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"
+
+
+def pytest_configure(config):
+    """TPU-gated runs must be single-process: the axon backend is reliable
+    only one-program-per-process and a wedged worker hangs the tunnel for
+    everyone (see memory notes / tools/bench_pointops.py). pytest.ini
+    defaults to -n 4, so refuse loudly instead of flaking."""
+    if _ON_TPU:
+        n = getattr(config.option, "numprocesses", None)
+        if n not in (None, 0):
+            import pytest
+
+            raise pytest.UsageError(
+                "RECON3D_TPU_TESTS=1 requires -n 0 (single process): "
+                f"got -n {n}. Run: RECON3D_TPU_TESTS=1 pytest -n 0 ...")

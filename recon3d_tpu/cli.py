@@ -191,11 +191,25 @@ def main(argv=None):
         sf = StreamingFusion(cam, intr, cfg,
                              resolution=cfg.fusion.grid_resolution,
                              depth_filters=bank)
+        skip = 0
         if args.resume:
             sf.restore_checkpoint(args.resume)
             print(f"resumed at frame {sf.frames_integrated} from {args.resume}")
+            # replay/synthetic streams restart at frame 0 on open: skip the
+            # already-integrated prefix so resumed fusion continues the scan
+            # instead of re-registering old frames against the restored
+            # keyframe (a live camera's stream has moved on by itself)
+            if args.camera in ("replay", "synthetic"):
+                skip = sf.frames_integrated
+                if args.camera == "synthetic":
+                    # the synthetic stream is n_frames long; extend it so
+                    # the skipped prefix + the requested new frames fit
+                    from recon3d_tpu.camera.fake import SyntheticRGBDCamera
+
+                    sf.camera = cam = SyntheticRGBDCamera(
+                        n_frames=skip + args.frames)
         target = sf.frames_integrated + args.frames
-        sf.start()
+        sf.start(skip_frames=skip)
         while any(t.is_alive() for t in sf._threads) and sf.frames_integrated < target:
             time.sleep(0.25)
         sf.stop()

@@ -223,7 +223,11 @@ def _rebuild_table(brick_keys: jax.Array, table_size: int,
         table = table.at[jnp.where(won, slot, T)].set(
             jnp.where(won, idxs, EMPTY), mode="drop")
         unresolved = unresolved & ~won
-    return table
+    # live bricks that failed to place within `probes` slots would vanish
+    # silently (still alive in the pool, unreachable via _lookup, so
+    # integrate would re-allocate their key into a second slot); surface
+    # the count so grow() can fold it into n_dropped
+    return table, jnp.sum(unresolved.astype(jnp.int32))
 
 
 def grow(vol: ScalableTSDFVolume, capacity: Optional[int] = None,
@@ -248,14 +252,17 @@ def grow(vol: ScalableTSDFVolume, capacity: Optional[int] = None,
                        constant_values=fill)
 
     brick_keys = grow_pool(vol.brick_keys, -1)
+    table, n_unplaced = _rebuild_table(brick_keys, newT)
     return dataclasses.replace(
         vol,
         brick_keys=brick_keys,
-        table=_rebuild_table(brick_keys, newT),
+        table=table,
         tsdf=grow_pool(vol.tsdf, 0.0),
         weight=grow_pool(vol.weight, 0.0),
         color=None if vol.color is None else grow_pool(vol.color, 0.0),
-        n_dropped=jnp.int32(0),
+        # rehash losses are real drops: count them (the old counter resets
+        # because the re-scan after growth re-touches dropped surface)
+        n_dropped=n_unplaced,
     )
 
 

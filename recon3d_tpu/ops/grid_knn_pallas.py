@@ -182,6 +182,28 @@ def normals_pallas_core(pk, r2, G, C, interpret=False, gz=None):
     return _core_call(pk, r2, G, C, interpret, fuse_eig=True, gz=gz)
 
 
+def packed_chan_readback(out, point_slot, G, C, gz, n_chan):
+    """Per-point gather from a kernel's packed (G, n_chan*C, G*gz) output:
+    returns a function chan(j) -> (N,) values of channel j for each point,
+    plus the has-slot mask. Flat index for channel j from
+    slot = (x*GG + g)*C + c is ((x*n_chan + j)*C + c)*GG + g (GG = G*gz).
+    Shared by grid_pca_moments_pallas and normals._grid_normals_pallas so
+    the packed layout lives in exactly one place."""
+    GG = G * gz
+    slot = jnp.maximum(point_slot, 0)
+    has = point_slot >= 0
+    cell = slot // C
+    c = slot % C
+    x = cell // GG
+    g = cell % GG
+    out_f = out.reshape(-1)
+
+    def chan(j):
+        return out_f[((x * n_chan + j) * C + c) * GG + g]
+
+    return chan, has
+
+
 def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
                             cell_capacity=8, interpret=False):
     """Drop-in twin of gk.grid_pca_moments: (count (N,), mean (N, 3),
@@ -198,20 +220,8 @@ def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
     pk, point_slot, _ = gk._bin_points_packed(p, valid, radius, G, C)
     out = moments_pallas_core(pk, radius * radius, G, C, interpret, gz=gz)
     # Read results back by gathering DIRECTLY from the kernel's packed
-    # (G, 10C, GG) layout — no 100+ MB output transposes. Per-point flat
-    # index for channel j from slot = (x*GG + g)*C + c (GG = G*gz lanes):
-    GG = G * gz
-    slot = jnp.maximum(point_slot, 0)
-    has = point_slot >= 0
-    cell = slot // C
-    c = slot % C
-    x = cell // GG
-    g = cell % GG
-    out_f = out.reshape(-1)
-
-    def chan(j):
-        return out_f[((x * 10 + j) * C + c) * GG + g]
-
+    # (G, 10C, GG) layout — no 100+ MB output transposes
+    chan, has = packed_chan_readback(out, point_slot, G, C, gz, 10)
     n = jnp.where(has, chan(0), 0.0)
     nn = jnp.maximum(n, 1.0)
     m1 = [chan(1 + j) / nn for j in range(3)]
@@ -222,13 +232,3 @@ def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
                       m2[2] - mz * mz, m2[3] - mx * my,
                       m2[4] - mx * mz, m2[5] - my * mz], -1)
     return n, mean, cov6
-
-
-def cov6_to_matrix(cov6: jax.Array) -> jax.Array:
-    """(N, 6) [xx, yy, zz, xy, xz, yz] -> (N, 3, 3) symmetric matrices."""
-    xx, yy, zz, xy, xz, yz = (cov6[:, k] for k in range(6))
-    return jnp.stack([
-        jnp.stack([xx, xy, xz], -1),
-        jnp.stack([xy, yy, yz], -1),
-        jnp.stack([xz, yz, zz], -1),
-    ], -2)

@@ -315,8 +315,16 @@ class StreamingFusion:
             self.trajectory.append(wfc)
         self.frames_integrated += 1
 
-    def start(self):
+    def start(self, skip_frames: int = 0):
+        """skip_frames discards that many grabs before queueing — how a
+        restore_checkpoint'd REPLAY scan continues from where it left off
+        instead of re-integrating frames 0..k against the restored
+        keyframe (live cameras don't need it: their stream has moved on).
+        """
         self.camera.open()
+        for _ in range(skip_frames):
+            if self.camera.grab() is None:
+                break
         self.stop_event.clear()
         self._threads = [
             threading.Thread(target=self._capture_loop, daemon=True),

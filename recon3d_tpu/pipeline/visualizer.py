@@ -157,16 +157,19 @@ class LiveVisualizer3D:
         if isinstance(geometry, PointCloud):
             pts_j, valid = geometry.points, geometry.valid
             cols = geometry.colors
-            pts = np.asarray(pts_j)[np.asarray(valid)]
         elif isinstance(geometry, TriangleMesh):
             pts_j, valid = geometry.vertices, geometry.vertex_valid
             cols = geometry.vertex_colors
-            pts = np.asarray(pts_j)[np.asarray(valid)]
         else:
             raise TypeError(f"cannot visualize {type(geometry)}")
-        if len(pts) == 0:
-            return self._open
-        self._fit(pts)
+        # auto-fit materializes the cloud host-side ONLY while the camera
+        # is unset (first frame / after 'r' reset): a per-frame D2H copy of
+        # a 1M-point cloud costs more than the on-device render it feeds
+        if self.target is None or self.distance is None:
+            pts = np.asarray(pts_j)[np.asarray(valid)]
+            if len(pts) == 0:
+                return self._open
+            self._fit(pts)
         if cols is None:
             cols = jnp.full((pts_j.shape[0], 3), 0.75, jnp.float32)
         view = jnp.asarray(orbit_view(self.target, self.distance,

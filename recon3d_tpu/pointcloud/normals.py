@@ -135,27 +135,17 @@ def _grid_normals_pallas(points, valid, radius, grid_size, cell_capacity,
     spent ~120 ms more at 1M points in binning gathers and the extra
     moment round-trips through HBM."""
     from recon3d_tpu.ops import grid_knn as gk
-    from recon3d_tpu.ops.grid_knn_pallas import normals_pallas_core
+    from recon3d_tpu.ops.grid_knn_pallas import (normals_pallas_core,
+                                                 packed_chan_readback)
 
     p = jnp.asarray(points, jnp.float32)
     G, C = grid_size, cell_capacity
     gz = gk._lane_stride(G)
-    GG = G * gz
     pk, point_slot, _ = gk._bin_points_packed(p, valid, radius, G, C)
     out = normals_pallas_core(pk, radius * radius, G, C, interpret, gz=gz)
     # packed (G, 4C, GG) rows [nx, ny, nz, cnt]; per-point readback of the
-    # 3 normal channels from slot = (x*GG + g)*C + c:
-    slot = jnp.maximum(point_slot, 0)
-    has = point_slot >= 0
-    cell = slot // C
-    c = slot % C
-    x = cell // GG
-    g = cell % GG
-    out_f = out.reshape(-1)
-
-    def chan(j):
-        return out_f[((x * 4 + j) * C + c) * GG + g]
-
+    # 3 normal channels via the shared packed-slot gather
+    chan, has = packed_chan_readback(out, point_slot, G, C, gz, 4)
     fallback = jnp.array([0.0, 0.0, 1.0], jnp.float32)
     v = jnp.stack([chan(0), chan(1), chan(2)], -1)
     return jnp.where(has[:, None], v, fallback)
