@@ -65,6 +65,54 @@ def _add_common(p):
     add_dataclass_args(p, ScannerConfig)
 
 
+
+def _cmd_doctor() -> int:
+    """Environment diagnostics: what will and won't work here, in one
+    screen. Exit 0 when a usable compute backend exists, 1 otherwise."""
+    import glob
+
+    def row(name, ok, detail=""):
+        mark = "ok " if ok else ("-- " if ok is None else "FAIL")
+        print(f"  [{mark:4}] {name:28} {detail}")
+        return bool(ok)
+
+    print("recon3d_tpu doctor")
+    usable = False
+    try:
+        import jax
+
+        devs = jax.devices()
+        plat = devs[0].platform
+        usable = row("jax backend", True,
+                     f"{plat} x{len(devs)} ({devs[0].device_kind})")
+    except Exception as e:  # pragma: no cover - backend-dependent
+        row("jax backend", False, f"{type(e).__name__}: {e}")
+        print("         hint: JAX_PLATFORMS=cpu runs everything off-TPU "
+              "(kernels in interpret mode)")
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    n_cache = len(glob.glob(os.path.join(cache, "*"))) if os.path.isdir(cache) else 0
+    row("compilation cache", n_cache > 0 or None,
+        f"{cache} ({n_cache} entries)" if n_cache else
+        "absent: first 1080p frame program compiles ~15 min on TPU")
+    from recon3d_tpu.utils import native
+
+    lib = native.load_library()
+    row("native frameio (C++)", lib is not None or None,
+        "libframeio.so loaded" if lib is not None
+        else "not built (PIL fallback active; make -C native)")
+    try:
+        import cv2  # noqa: F401
+
+        row("opencv oracles", True, cv2.__version__)
+    except Exception:
+        row("opencv oracles", None, "cv2 absent: parity tests skip")
+    golden = "/root/reference/test/output"
+    n_png = len(glob.glob(os.path.join(golden, "color_*.png")))
+    row("golden replay fixtures", n_png > 0 or None,
+        f"{golden} ({n_png} frames)" if n_png else "absent: use synthetic")
+    return 0 if usable else 1
+
 def main(argv=None):
     # honor JAX_PLATFORMS even when the interpreter's sitecustomize already
     # imported jax and registered the default (TPU) backend: the env var
@@ -106,7 +154,12 @@ def main(argv=None):
     ip = sub.add_parser("inspect")
     ip.add_argument("--npz", required=True)
 
+    sub.add_parser("doctor")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "doctor":
+        return _cmd_doctor()
 
     if args.cmd == "inspect":
         from recon3d_tpu.calib import npz as _npz

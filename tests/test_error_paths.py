@@ -62,3 +62,10 @@ def test_wrong_schema_npz_names_found_keys(tmp_path):
 def test_pointcloud_capacity_smaller_than_n_rejected():
     with pytest.raises(ValueError, match="capacity 5 < number of points 10"):
         PointCloud.from_numpy(np.zeros((10, 3), np.float32), capacity=5)
+
+
+def test_doctor_reports_environment(capsys):
+    rc = cli.main(["doctor"])
+    out = capsys.readouterr().out
+    assert "jax backend" in out and "golden replay fixtures" in out
+    assert rc == 0  # tests run with a live CPU backend
