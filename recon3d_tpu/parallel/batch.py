@@ -53,7 +53,7 @@ def batched_depth(
         return disp, valid, total / jnp.maximum(count, 1.0)
 
     # The varying-axes check runs whenever the resolved backend is the XLA
-    # twin (scan carries are pvary'd via utils.vma.vary_like). It must stay
+    # twin (scan carries are marked varying via utils.vma.vary_like). It must stay
     # off for the Pallas path: pallas_call's out_shape structs carry no vma
     # and JAX's interpret-mode HLO interpreter mixes unvarying grid
     # constants with varying block data — JAX's own error message for both
