@@ -71,7 +71,7 @@ def main():
 
     from recon3d_tpu.camera.fake import FakeStereoCamera
     from recon3d_tpu.config import StereoMatcherConfig, WLSConfig
-    from recon3d_tpu.depth import sgm_pallas, wls
+    from recon3d_tpu.depth import sgm_pallas
     from recon3d_tpu.depth.matcher import compute_disparity
     from recon3d_tpu.ops.warp import build_remap_plan, remap_two_pass_pallas
     from recon3d_tpu.pointcloud.backproject import backproject_disparity

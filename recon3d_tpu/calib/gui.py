@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import os
 import threading
-import time
 from typing import List, Optional, Tuple
 
 import numpy as np

@@ -14,7 +14,6 @@ backprojection, cv2.reprojectImageTo3D).
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 

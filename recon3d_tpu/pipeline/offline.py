@@ -35,7 +35,7 @@ from recon3d_tpu.registration.features import compute_fpfh
 from recon3d_tpu.registration.posegraph import PoseGraph, global_optimization
 from recon3d_tpu.utils import io
 from recon3d_tpu.utils.logging import FPSCounter, make_logger
-from recon3d_tpu.utils.types import CameraIntrinsics, PointCloud, compact
+from recon3d_tpu.utils.types import CameraIntrinsics, compact
 
 
 class Scanner3D:

@@ -13,7 +13,6 @@ import threading
 import time
 from typing import Optional
 
-import jax.numpy as jnp
 
 from recon3d_tpu.config import ScannerConfig
 from recon3d_tpu.mesh_reconstruction import MeshReconstruction

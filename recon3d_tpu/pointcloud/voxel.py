@@ -21,7 +21,6 @@ sorts are native).
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional
 
