@@ -69,3 +69,21 @@ def test_doctor_reports_environment(capsys):
     out = capsys.readouterr().out
     assert "jax backend" in out and "golden replay fixtures" in out
     assert rc == 0  # tests run with a live CPU backend
+
+
+def test_bench_pointops_subprocess_contract(tmp_path):
+    """bench.py's extras shell out to tools/bench_pointops.py and parse its
+    LAST stdout line as {"ms": N} — pin that contract (both ops) on CPU."""
+    import json
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "bench_pointops.py"),
+         "voxel", "--n", "20000", "--capacity", "4096", "--reps", "1"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root)
+    assert r.returncode == 0, r.stderr[-500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["ms"] > 0
