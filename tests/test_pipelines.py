@@ -406,3 +406,33 @@ class TestBatchedConsumer:
             np.testing.assert_allclose(np.asarray(bat.trajectory[k]),
                                        np.asarray(seq.trajectory[k]),
                                        atol=1e-5)
+
+
+class TestThreadLifecycle:
+    def test_start_stop_churn_never_wedges(self, tmp_path):
+        """Repeated start/stop cycles (including stops that race the very
+        first frame) must always join cleanly, never deadlock on the
+        bounded queue, and keep the volume usable afterwards."""
+        import time
+
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+
+        cfg = _small_cfg(tmp_path)
+        for cycle in range(3):
+            sf = StreamingFusion(_cam(20, step=0.005), _intr(), cfg,
+                                 resolution=96,
+                                 volume_origin=(-0.72, -0.72, 0.3))
+            sf.start()
+            # cycle 0 stops immediately (races warm-up); later cycles let
+            # a few frames through first
+            deadline = time.time() + 120
+            while (cycle > 0 and sf.frames_integrated < 2
+                   and time.time() < deadline):
+                time.sleep(0.05)
+            sf.stop()
+            for t in sf._threads:
+                assert not t.is_alive(), f"cycle {cycle}: thread wedged"
+        # the last volume still integrates and meshes
+        assert sf.frames_integrated >= 2
+        mesh = sf.extract_mesh()
+        assert int(np.sum(np.asarray(mesh.vertex_valid))) >= 0
