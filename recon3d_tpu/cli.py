@@ -133,6 +133,11 @@ def main(argv=None):
         if name == "fuse":
             sp.add_argument("--resume", default=None, metavar="CKPT",
                             help="resume fusion from a save_checkpoint NPZ")
+            sp.add_argument("--consume_batch", type=int, default=1,
+                            help="fuse queue backlogs as one scanned "
+                                 "device program over N frames (amortizes "
+                                 "dispatch latency; adds up to N-1 frames "
+                                 "of pose latency)")
             sp.add_argument("--checkpoint", default=None, metavar="CKPT",
                             help="write a volume+tracking checkpoint here "
                                  "after the run (resumable with --resume)")
@@ -243,7 +248,8 @@ def main(argv=None):
             bank = DepthFilterBank(decimation=0, hole_fill="left")
         sf = StreamingFusion(cam, intr, cfg,
                              resolution=cfg.fusion.grid_resolution,
-                             depth_filters=bank)
+                             depth_filters=bank,
+                             consume_batch=args.consume_batch)
         skip = 0
         if args.resume:
             sf.restore_checkpoint(args.resume)
