@@ -47,8 +47,8 @@ def compute_disparity(
     backend = matcher.backend
     on_tpu = jax.default_backend() == "tpu"
     if backend == "auto":
-        backend = ("pallas" if on_tpu and num_directions in (3, 4) else "xla")
-    if backend == "pallas" and num_directions in (3, 4):
+        backend = "pallas" if on_tpu else "xla"
+    if backend == "pallas":
         from recon3d_tpu.depth import sgm_pallas as _sgmp
 
         # an explicit backend="pallas" off-TPU runs the SAME kernels in

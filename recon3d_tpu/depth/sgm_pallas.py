@@ -43,8 +43,12 @@ Why this shape:
   (TPU has no vector gather; rolls are sublane moves).
 
 Directions: 3 (left/right/down — exactly cv2 MODE_SGBM_3WAY, the mode the
-reference runs, depth4.py:157-170) or 4 (adds up, ~MODE_HH4).
-8-direction mode stays on the XLA path.
+reference runs, depth4.py:157-170), 4 (adds up, ~MODE_HH4), or 8
+(~MODE_HH: adds the four diagonals — the two downward diagonals run as a
+fourth kernel sweeping full-width bands top->bottom with column-shifted
+carries, and the two upward diagonals fuse into the finalize kernel's
+bottom->top sweep, so even in 8-direction mode the aggregate volume never
+exists in HBM).
 """
 from __future__ import annotations
 
@@ -104,6 +108,48 @@ def _path_step(carry: jax.Array, c: jax.Array, p1: float, p2: float) -> jax.Arra
                    pltpu.roll(carry, D - 1, axis=carry.ndim - 1))
     cand = jnp.minimum(jnp.minimum(carry, m + p2), jnp.minimum(dm, dp) + p1)
     return c + cand - m
+
+
+def _shift_cols(carry: jax.Array, direction: int) -> jax.Array:
+    """Shift a (W, D) carry one column along the sublane (x) axis:
+    new[x] = old[x - direction], the entering column zeroed (a zero carry
+    re-initializes the path: _path_step(0, c) == c). This is what turns a
+    vertical sweep into a diagonal one (sgm.py _scan_dir's col_shift)."""
+    W = carry.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, carry.shape, 0)
+    if direction > 0:
+        return jnp.where(col == 0, 0.0, pltpu.roll(carry, 1, axis=0))
+    return jnp.where(col == W - 1, 0.0, pltpu.roll(carry, W - 1, axis=0))
+
+
+def _mk_diag_down_kernel(fh: int, p1: float, p2: float):
+    """Both downward-diagonal SGM paths (down-right and down-left, the
+    col_shift=+1/-1 top->bottom scans of sgm.py aggregate) fused into one
+    full-width band sweep, accumulated onto the path volume in place.
+
+    Grid (bands,) top->bottom; the two (W, D) carries persist across bands
+    in a (2, W, D) scratch. Padded columns stay exactly zero (their cost is
+    zero and their entering carries are zero), so the carry entering the
+    real image's right edge from the padding is the same zero the XLA
+    twin's edge re-initialization produces.
+    """
+
+    def kernel(cost_ref, acc_ref, out_ref, carry_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        ca = carry_ref[0]  # down-right: receives from (y-1, x-1)
+        cb = carry_ref[1]  # down-left:  receives from (y-1, x+1)
+        for y in range(fh):
+            c = _u16f(cost_ref[y])
+            ca = _path_step(_shift_cols(ca, +1), c, p1, p2)
+            cb = _path_step(_shift_cols(cb, -1), c, p1, p2)
+            out_ref[y] = acc_ref[y] + ca + cb
+        carry_ref[0] = ca
+        carry_ref[1] = cb
+
+    return kernel
 
 
 def _mk_hscan_kernel(xt: int, p1: float, p2: float, reverse: bool, accumulate: bool):
@@ -200,6 +246,12 @@ def _finalize_body(S, fh: int, d_real: int, d_pad: int, w_pad: int,
     lanef = lane.astype(jnp.float32)
     xcol = jax.lax.broadcasted_iota(jnp.int32, (fh, w_pad, 1), 1)
 
+    # keep the pack exact: S*PK + lane must stay below 2^24. 3/4-direction
+    # sums never get close (max 4*(INVALID_COST + 2*P2) even at block 11);
+    # 8-direction sums with block >= 9 can exceed it on all-invalid border
+    # columns, where clamping at most re-ties garbage lanes (and ties break
+    # to the smallest lane either way, cv2's rule).
+    S = jnp.minimum(S, BIGP / PK - 1.0)
     P = S * PK + lanef
     mp = jnp.min(P, axis=-1, keepdims=True)
     d0f = mp - jnp.floor(mp / PK) * PK
@@ -268,7 +320,8 @@ def _finalize_body(S, fh: int, d_real: int, d_pad: int, w_pad: int,
 def _mk_vfinalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
                          w_real: int, uniqueness_ratio: int,
                          disp12_max_diff: int, do_subpixel: bool,
-                         p1: float, p2: float, reverse: bool):
+                         p1: float, p2: float, reverse: bool,
+                         with_diag: bool = False):
     """Fused vertical scan + finalize on full-width FH-row bands.
 
     Grid (bands,) swept bottom->top (reverse=True: the upward path of
@@ -278,20 +331,39 @@ def _mk_vfinalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
     its FH rows of S = v3 + L_vert in VMEM and finalizes them immediately,
     so the aggregate volume S never exists in HBM (a separate vertical
     kernel wrote ~1 GB of it at 1080p/D=128 and finalize re-read it).
+
+    with_diag (8-direction mode, requires reverse=True) fuses the two
+    UPWARD diagonal paths into the same bottom->top sweep: two extra
+    column-shifted carries ride in the (3, W, D) scratch, so MODE_HH's
+    eight paths still never materialize an HBM aggregate.
     """
+    assert not with_diag or reverse, "diagonal finalize is the upward sweep"
 
     def kernel(cost_ref, v3_ref, disp_ref, valid_ref, carry_ref):
         @pl.when(pl.program_id(0) == 0)
         def _():
             carry_ref[:] = jnp.zeros_like(carry_ref)
 
-        carry = carry_ref[:]
+        carry = carry_ref[0] if with_diag else carry_ref[:]
+        if with_diag:
+            cur = carry_ref[1]  # up-right: receives from (y+1, x-1)
+            cul = carry_ref[2]  # up-left:  receives from (y+1, x+1)
         rows = [None] * fh
         order = range(fh - 1, -1, -1) if reverse else range(fh)
         for i in order:
-            carry = _path_step(carry, _u16f(cost_ref[i]), p1, p2)
+            c = _u16f(cost_ref[i])
+            carry = _path_step(carry, c, p1, p2)
             rows[i] = carry + v3_ref[i]
-        carry_ref[:] = carry
+            if with_diag:
+                cur = _path_step(_shift_cols(cur, +1), c, p1, p2)
+                cul = _path_step(_shift_cols(cul, -1), c, p1, p2)
+                rows[i] = rows[i] + (cur + cul)
+        if with_diag:
+            carry_ref[0] = carry
+            carry_ref[1] = cur
+            carry_ref[2] = cul
+        else:
+            carry_ref[:] = carry
         S = jnp.stack(rows, axis=0)  # (FH, W, D) f32 aggregate
 
         disp, valid = _finalize_body(S, fh, d_real, d_pad, w_pad, w_real,
@@ -653,7 +725,7 @@ def cost_fwd_down(
 
 @partial(jax.jit, static_argnames=(
     "p1", "p2", "uniqueness_ratio", "disp12_max_diff", "do_subpixel",
-    "num_disparities", "w_real", "interpret", "final_dir",
+    "num_disparities", "w_real", "interpret", "final_dir", "with_diag",
 ))
 def aggregate_and_finalize(
     cost_u16: jax.Array,
@@ -667,6 +739,7 @@ def aggregate_and_finalize(
     interpret: bool = False,
     v1: jax.Array | None = None,
     final_dir: str = "up",
+    with_diag: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Path aggregation + WTA/subpixel/uniqueness/LR on a padded uint16
     cost volume. Returns (disp_raw f32 in d-index units, valid bool), both
@@ -678,8 +751,12 @@ def aggregate_and_finalize(
     fused into the finalize kernel: "up" completes 4-direction mode
     (cv2 HH4 parity; v1 must already contain L_down), "down" completes
     3-direction mode (cv2 SGBM_3WAY parity; v1 is L_fwd alone).
+    with_diag (requires final_dir == "up") adds the four diagonal paths
+    for 8-direction MODE_HH parity: the downward pair as a band sweep
+    accumulated onto v3, the upward pair fused into the finalize kernel.
     """
     assert final_dir in ("up", "down"), final_dir
+    assert not with_diag or final_dir == "up", "8-direction mode ends up"
     HP, WP, DP = cost_u16.shape
     assert HP % 64 == 0 and WP % 8 == 0 and DP % 128 == 0, cost_u16.shape
     _, XT = _pick_xtile(WP)
@@ -738,8 +815,26 @@ def aggregate_and_finalize(
         interpret=interpret,
     )(cost_u16, v1)
 
+    if with_diag:
+        # downward diagonal pair (down-right + down-left), top->bottom over
+        # full-width FH-row bands, accumulated in place onto v3
+        dband = pl.BlockSpec((FH, WP, DP), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        v3 = pl.pallas_call(
+            _mk_diag_down_kernel(FH, p1f, p2f),
+            grid=(nbf,),
+            in_specs=[dband, dband], out_specs=dband,
+            out_shape=vol_shape_f,
+            scratch_shapes=[pltpu.VMEM((2, WP, DP), jnp.float32)],
+            input_output_aliases={1: 0},
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(cost_u16, v3)
+
     # fused vertical path + finalize on full-width bands (bottom->top for
-    # "up", top->bottom for "down")
+    # "up", top->bottom for "down"); in 8-direction mode the two upward
+    # diagonals ride the same sweep
     rev = final_dir == "up"
     bmap = (lambda b: (nbf - 1 - b, 0, 0)) if rev else (lambda b: (b, 0, 0))
     rmap = (lambda b: (nbf - 1 - b, 0)) if rev else (lambda b: (b, 0))
@@ -749,13 +844,15 @@ def aggregate_and_finalize(
         _mk_vfinalize_kernel(FH, num_disparities, DP, WP,
                              WP if w_real is None else w_real,
                              uniqueness_ratio, disp12_max_diff,
-                             do_subpixel, p1f, p2f, reverse=rev),
+                             do_subpixel, p1f, p2f, reverse=rev,
+                             with_diag=with_diag),
         grid=(nbf,),
         in_specs=[fband, fband],
         out_specs=(frow, frow),
         out_shape=(jax.ShapeDtypeStruct((HP, WP), jnp.float32),
                    jax.ShapeDtypeStruct((HP, WP), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((WP, DP), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((3, WP, DP), jnp.float32) if with_diag
+                        else pltpu.VMEM((WP, DP), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -792,7 +889,9 @@ def sgm_disparity_pallas(
 
     num_directions=4 matches cv2 STEREO_SGBM_MODE_HH4 (L/R/up/down);
     num_directions=3 matches MODE_SGBM_3WAY (L/R/down) — the reference's
-    production mode (depth4.py:157-170) — and runs one path-scan cheaper.
+    production mode (depth4.py:157-170) — and runs one path-scan cheaper;
+    num_directions=8 matches MODE_HH's full direction set (adds the four
+    diagonals, at roughly 4/3 the aggregation cost of the 4-path mode).
 
     Gray pair -> (disparity float32 incl. min_disparity, -1 invalid; valid
     bool). Pads H to a multiple of 64 and W/D to multiples of 128 internally
@@ -800,7 +899,7 @@ def sgm_disparity_pallas(
     """
     from recon3d_tpu.depth import sgm as _sgm
 
-    assert num_directions in (3, 4), num_directions
+    assert num_directions in (3, 4, 8), num_directions
     if p1 is None:
         p1 = 8.0 * block_size * block_size
     if p2 is None:
@@ -820,12 +919,13 @@ def sgm_disparity_pallas(
         jnp.asarray(left_gray, jnp.float32),
         jnp.asarray(right_gray, jnp.float32),
         num_disparities, min_disparity, block_size, pre_filter_cap,
-        p1, p2, HP, WP, DP, num_directions == 4, interpret)
+        p1, p2, HP, WP, DP, num_directions >= 4, interpret)
 
     disp_raw, valid = aggregate_and_finalize(
         cost, p1, p2, num_disparities, uniqueness_ratio, disp12_max_diff,
         do_subpixel, W, interpret, v1=v1,
-        final_dir="up" if num_directions == 4 else "down")
+        final_dir="up" if num_directions >= 4 else "down",
+        with_diag=num_directions == 8)
     disp_raw = disp_raw[:H, :W]
     valid = valid[:H, :W]
 

@@ -77,9 +77,10 @@ class TestSGM:
         assert rmse < 0.5, f"RMSE vs cv2 SGBM {rmse:.3f} px"
 
     def test_direction_count_accuracy_waiver(self, stereo_pair):
-        """Measured justification for the Pallas fast path stopping at 3/4
-        directions (the reference's production mode is 3-way,
-        depth4.py:157-170; cv2 MODE_HH's 8 paths run on the XLA twin only).
+        """Measured justification for defaulting to 3 directions (the
+        reference's production mode is 3-way, depth4.py:157-170). All of
+        3/4/8 now run on the Pallas fast path (test_sgm_pallas pins 8-dir
+        kernel parity); this test keeps the *default choice* honest.
 
         Measured on this fixture (320x240/D=64): truth-RMSE sgm3 0.441,
         sgm4 0.431, sgm8 0.418 px — the 8-direction mode buys < 0.03 px

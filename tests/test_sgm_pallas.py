@@ -74,6 +74,25 @@ class TestPallasParity:
         reg[:, 18:] = True
         assert np.abs(d_x - d_p)[both & reg].max() < 1e-4
 
+    def test_8direction_matches_xla_oracle(self):
+        # num_directions=8 (cv2 MODE_HH direction set): the downward
+        # diagonal pair runs as its own band-sweep kernel, the upward pair
+        # rides the finalize sweep's extra carries — the aggregate volume
+        # still never exists in HBM
+        gl, gr, _ = _pair(64, 128)
+        kw = dict(num_disparities=16, block_size=3, uniqueness_ratio=10,
+                  disp12_max_diff=1, speckle_window_size=0)
+        d_x, v_x = sgm.sgm_disparity(gl, gr, num_directions=8, **kw)
+        d_p, v_p = sgm_pallas.sgm_disparity_pallas(
+            gl, gr, num_directions=8, interpret=True, **kw)
+        d_x, v_x, d_p, v_p = map(np.asarray, (d_x, v_x, d_p, v_p))
+        assert (v_x == v_p).mean() == 1.0
+        both = v_x & v_p
+        reg = np.zeros_like(both)
+        reg[:, 18:] = True
+        assert np.abs(d_x - d_p)[both & reg].max() < 1e-4
+        assert np.abs(d_x - d_p)[both].max() < 0.2
+
     def test_min_disparity(self):
         gl, gr, dt = _pair(48, 128)
         d_p, v_p = sgm_pallas.sgm_disparity_pallas(
@@ -117,14 +136,16 @@ class TestCompiledStaticChunks:
     Run on the real chip: JAX_PLATFORMS=axon pytest tests/test_sgm_pallas.py
     (the suite's conftest pins CPU, where this skips)."""
 
-    def test_compiled_matches_xla_oracle_on_tpu(self):
+    @pytest.mark.parametrize("nd", [4, 8])
+    def test_compiled_matches_xla_oracle_on_tpu(self, nd):
         import jax
 
         if jax.default_backend() not in ("tpu", "axon"):
             pytest.skip("needs a real TPU (compiled Mosaic path)")
         gl, gr, _ = _pair(128, 256)
         kw = dict(num_disparities=32, block_size=5, uniqueness_ratio=10,
-                  disp12_max_diff=1, speckle_window_size=0)
+                  disp12_max_diff=1, speckle_window_size=0,
+                  num_directions=nd)
         d_x, v_x = sgm.sgm_disparity(gl, gr, **kw)
         d_p, v_p = sgm_pallas.sgm_disparity_pallas(gl, gr, **kw)  # compiled
         d_x, v_x, d_p, v_p = map(np.asarray, (d_x, v_x, d_p, v_p))
