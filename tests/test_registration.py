@@ -113,6 +113,77 @@ class TestICP:
         err = np.abs(np.asarray(res.transformation) - T_true).max()
         assert err < 2e-3, f"large-rotation GICP error {err:.5f}"
 
+    def test_gicp_matches_float64_exact_oracle(self):
+        """Bound the jit GICP's numerics against an independent float64
+        reference (VERDICT weak #7: no external numerical bound existed).
+
+        The oracle is Segal et al.'s plane-to-plane update written in plain
+        numpy: exact scipy cKDTree 1-NN correspondences, float64 per-pair
+        Mahalanobis weights M = C_t + R C_s R^T, a dense 6x6 Gauss-Newton
+        solve, and scipy.linalg.expm for the se3 exponential (independent
+        of registration/se3.py). Both optimizers get identical inputs
+        (same noisy clouds, same covariances, same threshold) and must
+        land on the same fixed point — this bounds the float32 + blocked
+        1-NN + linearization error of the production path end to end."""
+        from scipy.linalg import expm
+        from scipy.spatial import cKDTree
+
+        rng = np.random.RandomState(7)
+        pts = _surface_cloud(n=700, seed=7)
+        T_true = _pose([0.05, -0.08, 0.12], [0.03, 0.02, -0.04])
+        tgt_np = (pts @ T_true[:3, :3].T + T_true[:3, 3]
+                  + rng.randn(*pts.shape).astype(np.float32) * 0.003)
+        src = PointCloud.from_numpy(pts)
+        tgt = PointCloud.from_numpy(tgt_np)
+        cov_s = covariances_for_gicp(src)
+        cov_t = covariances_for_gicp(tgt)
+
+        res = registration_icp(src, tgt, threshold=0.1, method="gicp",
+                               max_iterations=60, source_cov=cov_s,
+                               target_cov=cov_t)
+        T_ours = np.asarray(res.transformation, np.float64)
+
+        # --- float64 exact-NN reference of the same objective ---
+        s64 = pts.astype(np.float64)
+        t64 = tgt_np.astype(np.float64)
+        Cs = np.asarray(cov_s, np.float64)
+        Ct = np.asarray(cov_t, np.float64)
+        tree = cKDTree(t64)
+        T = np.eye(4)
+        for _ in range(200):
+            R, t = T[:3, :3], T[:3, 3]
+            p = s64 @ R.T + t
+            d, idx = tree.query(p)
+            ok = d <= 0.1
+            pi, qi = p[ok], t64[idx[ok]]
+            M = Ct[idx[ok]] + np.einsum("ij,njk,lk->nil", R, Cs[ok], R)
+            Minv = np.linalg.inv(M)
+            r = pi - qi
+            hat = np.zeros((pi.shape[0], 3, 3))
+            hat[:, 0, 1], hat[:, 0, 2] = -pi[:, 2], pi[:, 1]
+            hat[:, 1, 0], hat[:, 1, 2] = pi[:, 2], -pi[:, 0]
+            hat[:, 2, 0], hat[:, 2, 1] = -pi[:, 1], pi[:, 0]
+            J = np.concatenate(
+                [np.broadcast_to(np.eye(3), hat.shape), -hat], axis=2)
+            WJ = Minv @ J
+            A = np.einsum("nij,nik->jk", J, WJ)
+            b = np.einsum("nij,ni->j", WJ, r)
+            xi = -np.linalg.solve(A, b)
+            X = np.zeros((4, 4))
+            X[:3, :3] = [[0, -xi[5], xi[4]],
+                         [xi[5], 0, -xi[3]],
+                         [-xi[4], xi[3], 0]]
+            X[:3, 3] = xi[:3]
+            T = expm(X) @ T
+            if np.abs(xi).max() < 1e-12:
+                break
+
+        diff = np.abs(T_ours - T).max()
+        assert diff < 1e-3, f"jit GICP vs float64 oracle diverge: {diff:.2e}"
+        # and both sit on the truth to within the injected noise level
+        assert np.abs(T - T_true).max() < 5e-3
+        assert np.abs(T_ours - T_true).max() < 5e-3
+
     def test_quality_gate(self):
         pts = _surface_cloud(seed=3)
         src = PointCloud.from_numpy(pts)
