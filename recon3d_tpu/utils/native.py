@@ -8,6 +8,7 @@ fall back when the toolchain or an exotic PNG flavor isn't supported.
 from __future__ import annotations
 
 import ctypes
+import glob
 import os
 import subprocess
 from typing import List, Optional, Tuple
@@ -23,21 +24,39 @@ def _native_dir() -> str:
         os.path.dirname(os.path.abspath(__file__)))), "native")
 
 
+def _find_so() -> Optional[str]:
+    """Locate libframeio: repo checkout (native/, built lazily by make) or
+    an installed wheel (setup.py compiles it next to the package as
+    recon3d_tpu/libframeio.*.so via the optional Extension)."""
+    so = os.path.join(_native_dir(), "libframeio.so")
+    if os.path.exists(so):
+        return so
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hits = sorted(glob.glob(os.path.join(pkg_dir, "libframeio*.so")))
+    if hits:
+        return hits[0]
+    if os.path.exists(os.path.join(_native_dir(), "Makefile")):
+        try:
+            subprocess.run(["make", "-C", _native_dir()], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+        if os.path.exists(so):
+            return so
+    return None
+
+
 def load_library() -> Optional[ctypes.CDLL]:
-    """Build (once) and dlopen libframeio.so; None if unavailable."""
+    """Build/locate (once) and dlopen libframeio; None if unavailable."""
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
     if os.environ.get("RECON3D_NO_NATIVE"):
         return None
-    so = os.path.join(_native_dir(), "libframeio.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", _native_dir()], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
+    so = _find_so()
+    if so is None:
+        return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:
