@@ -297,10 +297,20 @@ def main():
             fx=jnp.float32(616.63), fy=jnp.float32(616.31),
             cx=jnp.float32(312.58), cy=jnp.float32(242.22))
         sf = StreamingFusion(s_cam, s_intr, ScannerConfig(),
-                             resolution=256, consume_batch=8).start()
+                             resolution=256, consume_batch=8)
+        # compile both consumer programs BEFORE the clock starts: the
+        # window below must measure steady-state throughput, not XLA
+        # compiles (round-1 recorded 1.16 fps because the batch program
+        # compiled inside the window)
+        w_cam = FakeRGBDCamera("/root/reference/test/output")
+        w_cam.open()
+        w_c, w_d = w_cam.grab()
+        w_cam.close()
+        sf.warmup(w_c, w_d)
+        sf.start()
         deadline = time.perf_counter() + 600.0
-        while sf.frames_integrated < 5 and time.perf_counter() < deadline:
-            time.sleep(0.1)  # warm-up: first frames pay the compiles
+        while sf.frames_integrated < 17 and time.perf_counter() < deadline:
+            time.sleep(0.1)  # settle: first frame + ragged pre-batch drains
         n0, t0 = sf.frames_integrated, time.perf_counter()
         while (sf.frames_integrated < n0 + 90
                and time.perf_counter() < t0 + 30.0):

@@ -92,6 +92,26 @@ def _tet_triangles(p, v, ok):
     return tri_a, tri_b, valid_a, valid_b
 
 
+def _tet_validity(vals, ok):
+    """Candidate validity bits WITHOUT computing any triangle geometry.
+
+    vals: (..., 8) cube corner TSDF values; ok: (...,) cube mask.
+    Returns (..., 12) bools ordered [tet0_a, tet0_b, tet1_a, ...] — the
+    exact candidate order extract_triangle_soup's geometry pass uses.
+    """
+    inside = vals < 0.0
+    va = []
+    vb = []
+    for tet in _TETS:
+        n_in = sum(inside[..., c].astype(jnp.int32) for c in tet)
+        va.append(ok & (n_in >= 1) & (n_in <= 3))
+        vb.append(ok & (n_in == 2))
+    return jnp.stack([v for pair in zip(va, vb) for v in pair], -1)
+
+
+_TETS_ARR = _np.array(_TETS, _np.int32)  # (6, 4) corner ids per tet
+
+
 @partial(jax.jit, static_argnames=("max_triangles", "slab"))
 def extract_triangle_soup(
     vol: TSDFVolume,
@@ -101,12 +121,23 @@ def extract_triangle_soup(
 ):
     """TSDF -> triangle soup (T, 3, 3) positions + (T,) validity.
 
-    Slab-scanned over z so peak memory is O(R^2 * slab * 12 triangles).
+    Slab-scanned over z so peak memory is O(R^2 * slab). Within a slab the
+    surface is SPARSE (~0.3% of the 6M candidate (cube, tet, tri) slots at
+    256^3), so compaction never materializes per-candidate geometry: a
+    cheap elementwise validity pass feeds a (X*Y, slab*12) batched lane
+    argsort + group cumsum + searchsorted, and triangle interpolation runs
+    only for the <= cap_per_slab survivors. The original formulation built
+    224 MB of candidate triangles per slab and globally argsorted 6.2M
+    keys per slab — 32 s for a 256^3 volume on a v5e; this one is
+    elementwise + O(cap) gathers.
     """
     t = vol.tsdf
     w = vol.weight
     R = vol.resolution
     n_slabs = (R - 1) // slab + (1 if (R - 1) % slab else 0)
+    X, Y, Z = R - 1, R - 1, slab
+    K = Z * 12
+    cap_per_slab = min(max_triangles // n_slabs + 1, X * Y * K)
 
     def slab_tris(z0, z_lo):
         # cubes with corner z in [z0, z0+slab): a (R, R, slab+1) z-window.
@@ -114,58 +145,50 @@ def extract_triangle_soup(
         # slab is shifted to stay in-bounds and would otherwise overlap).
         tw = jax.lax.dynamic_slice_in_dim(t, z0, slab + 1, axis=2)
         ww = jax.lax.dynamic_slice_in_dim(w, z0, slab + 1, axis=2)
-        X, Y, Z = R - 1, R - 1, slab
         # corner values for each cube: (X, Y, Z, 8)
-        def corner(c):
-            dx, dy, dz = (c & 1), ((c >> 1) & 1), ((c >> 2) & 1)
-            return tw[dx:dx + X, dy:dy + Y, dz:dz + Z], ww[dx:dx + X, dy:dy + Y, dz:dz + Z]
-
-        vals = []
-        wts = []
+        vals = jnp.stack([
+            tw[(c & 1):(c & 1) + X, ((c >> 1) & 1):((c >> 1) & 1) + Y,
+               ((c >> 2) & 1):((c >> 2) & 1) + Z] for c in range(8)], -1)
+        wok = None
         for c in range(8):
-            a, b = corner(c)
-            vals.append(a)
-            wts.append(b)
-        vals = jnp.stack(vals, -1)  # (X, Y, Z, 8)
-        wts = jnp.stack(wts, -1)
-        ok = jnp.all(wts >= weight_min, -1)
+            wc = ww[(c & 1):(c & 1) + X, ((c >> 1) & 1):((c >> 1) & 1) + Y,
+                    ((c >> 2) & 1):((c >> 2) & 1) + Z] >= weight_min
+            wok = wc if wok is None else (wok & wc)
         zidx = z0 + jnp.arange(Z)
-        ok = ok & (zidx >= z_lo)[None, None, :]
-        # cube base positions
-        idx = jnp.arange(R - 1, dtype=jnp.float32)
-        gx, gy = jnp.meshgrid(idx, idx, indexing="ij")
-        gz = (z0 + jnp.arange(Z)).astype(jnp.float32)
-        base = jnp.stack([
-            jnp.broadcast_to(gx[..., None], (X, Y, Z)),
-            jnp.broadcast_to(gy[..., None], (X, Y, Z)),
-            jnp.broadcast_to(gz[None, None, :], (X, Y, Z)),
-        ], -1)
+        ok = wok & (zidx >= z_lo)[None, None, :]
 
-        tris = []
-        valids = []
-        for tet in _TETS:
-            pv = jnp.stack([vals[..., c] for c in tet], -1)  # (X,Y,Z,4)
-            pp = (base[..., None, :] + _CORNER_OFFSETS[_np.array(tet)]) \
-                * vol.voxel_size + vol.origin  # (X,Y,Z,4,3)
-            ta, tb, va, vb = _tet_triangles(pp, pv, ok)
-            tris.append(ta)
-            tris.append(tb)
-            valids.append(va)
-            valids.append(vb)
-        tri = jnp.stack(tris, axis=3).reshape(-1, 3, 3)  # (X*Y*Z*12, 3, 3)
-        val = jnp.stack(valids, axis=3).reshape(-1)
-        return tri, val
+        # ---- compaction on validity bits only (no geometry yet)
+        val = _tet_validity(vals, ok).reshape(X * Y, K)  # (G, K)
+        counts = jnp.sum(val.astype(jnp.int32), axis=1)  # (G,)
+        order = jnp.argsort(~val, axis=1, stable=True)   # (G, K) lane sort
+        cum = jnp.cumsum(counts)                         # inclusive
+        total = cum[-1]
+        r = jnp.arange(cap_per_slab, dtype=jnp.int32)
+        g = jnp.clip(jnp.searchsorted(cum, r, side="right"), 0, X * Y - 1)
+        local = jnp.clip(r - (cum[g] - counts[g]), 0, K - 1)
+        k = order[g, local]                              # (cap,) candidate id
+        n = jnp.minimum(total, cap_per_slab)
+        sel = r < n
 
-    cap_per_slab = min(max_triangles // n_slabs + 1, (R - 1) * (R - 1) * slab * 12)
+        # ---- geometry for survivors only
+        x = g // Y
+        y = g % Y
+        z_rel = k // 12
+        tet_i = (k % 12) // 2
+        ab = k % 2
+        cids = jnp.asarray(_TETS_ARR)[tet_i]             # (cap, 4)
+        vv = vals[x[:, None], y[:, None], z_rel[:, None], cids]  # (cap, 4)
+        base = jnp.stack([x, y, z0 + z_rel], -1).astype(jnp.float32)
+        pp = (base[:, None, :] + jnp.asarray(_CORNER_OFFSETS)[cids]) \
+            * vol.voxel_size + vol.origin                # (cap, 4, 3)
+        ta, tb, _, _ = _tet_triangles(pp, vv, sel)
+        tri = jnp.where((ab == 1)[:, None, None], tb, ta)
+        return tri, sel, n
 
     def body(carry, i):
         out_tri, out_val, cursor = carry
         z0 = jnp.minimum(i * slab, R - 1 - slab)
-        tri, val = slab_tris(z0, i * slab)
-        order = jnp.argsort(~val, stable=True)[:cap_per_slab]
-        tri_c = tri[order]
-        n = jnp.minimum(jnp.sum(val.astype(jnp.int32)), cap_per_slab)
-        val_c = jnp.arange(cap_per_slab) < n
+        tri_c, val_c, n = slab_tris(z0, i * slab)
         pos = cursor + jnp.arange(cap_per_slab)
         pos = jnp.where(val_c, jnp.minimum(pos, max_triangles - 1), max_triangles - 1)
         out_tri = out_tri.at[pos].set(jnp.where(val_c[:, None, None], tri_c, out_tri[pos]))

@@ -315,6 +315,41 @@ class StreamingFusion:
             self.trajectory.append(wfc)
         self.frames_integrated += 1
 
+    def warmup(self, color, depth) -> "StreamingFusion":
+        """Compile the consumer's device programs before streaming starts.
+
+        Runs the per-frame step (and the batch program when consume_batch >
+        1) once on a sacrificial copy of the still-empty volume, with the
+        sample frame as both keyframe and input. XLA compiles of the
+        odometry+integrate programs take tens of seconds on a tunneled
+        chip; without this they land inside the live measurement window
+        (and cost the first real frames of any scan). The real volume and
+        tracking state are untouched.
+        """
+        cfg = self.config.fusion
+        color = jax.device_put(color)
+        depth = jax.device_put(depth)
+        if self._step is None:
+            self._step = self._build_step(cfg)
+        if self._consume_batch > 1 and self._step_batch is None:
+            self._step_batch = self._build_step_batch(cfg)
+        eye = jnp.eye(4, dtype=jnp.float32)
+        vol = jax.tree.map(jnp.copy, self.volume)
+        state = _TrackState(
+            world_from_cam=eye, world_from_key=jnp.copy(eye),
+            rel_init=jnp.copy(eye), key_color=jnp.copy(color),
+            key_depth=jnp.copy(depth), failures=jnp.zeros((), jnp.int32),
+            last_inliers=jnp.ones(()), last_success=jnp.asarray(True))
+        vol, state, wfc = self._step(vol, state, color, depth)
+        if self._step_batch is not None:
+            B = self._consume_batch
+            colors = jnp.stack([color] * B)
+            depths = jnp.stack([depth] * B)
+            vol, state, wfc = self._step_batch(vol, state, colors, depths)
+        jax.block_until_ready(wfc)
+        del vol, state
+        return self
+
     def start(self, skip_frames: int = 0):
         """skip_frames discards that many grabs before queueing — how a
         restore_checkpoint'd REPLAY scan continues from where it left off

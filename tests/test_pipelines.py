@@ -122,6 +122,38 @@ class TestStreamingFusion:
         verts, tris, _, _ = mesh.to_numpy()
         assert len(tris) > 500
 
+    def test_warmup_compiles_without_touching_state(self, tmp_path):
+        import time
+
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+
+        cam = _cam(5, step=0.01)
+        cfg = _small_cfg(tmp_path)
+        sf = StreamingFusion(cam, _intr(), cfg, resolution=96,
+                             volume_origin=(-0.72, -0.72, 0.3),
+                             consume_batch=2)
+        cam.open()
+        c, d = cam.grab()
+        cam._i = 0  # rewind the synthetic stream
+        sf.warmup(c, d)
+        # warmup must not leak into the real volume or tracking state
+        assert sf._state is None
+        assert float(jnp.sum(sf.volume.weight)) == 0.0
+        assert sf.frames_integrated == 0
+        sf.start()
+        deadline = time.time() + 300
+        while any(t.is_alive() for t in sf._threads) and time.time() < deadline:
+            if sf.frames_integrated >= 5:
+                break
+            time.sleep(0.2)
+        sf.stop()
+        assert sf.frames_integrated >= 4
+        assert sf.odometry_failures == 0
+        for k in range(1, min(4, len(sf.trajectory))):
+            true_wfc = np.linalg.inv(cam.true_pose(k))
+            err = np.linalg.norm(sf.trajectory[k][:3, 3] - true_wfc[:3, 3])
+            assert err < 0.01, f"frame {k} drift {err*1000:.1f} mm"
+
     def test_camera_crash_stops_stream_cleanly(self, tmp_path):
         import time
 
