@@ -267,9 +267,8 @@ def main(argv=None):
 
                     sf.camera = cam = SyntheticRGBDCamera(
                         n_frames=skip + args.frames)
-        target = sf.frames_integrated + args.frames
-        sf.start(skip_frames=skip)
-        while any(t.is_alive() for t in sf._threads) and sf.frames_integrated < target:
+        sf.start(skip_frames=skip, max_frames=args.frames)
+        while any(t.is_alive() for t in sf._threads):
             time.sleep(0.25)
         sf.stop()
         if args.checkpoint:

@@ -66,6 +66,14 @@ class StreamingFusion:
         self.queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self.stop_event = threading.Event()
         cfg = config.fusion
+        # volume_origin=None -> auto-fit: the origin is re-seated on the
+        # first frame so the volume is centered on the scene actually in
+        # view (a fixed default like "1 m cube at z=0" silently meshes
+        # nothing when the camera looks at a scene 2 m away, which is
+        # exactly what the reference's golden capture does). The origin is
+        # a traced array leaf of TSDFVolume, so the swap costs no
+        # recompile.
+        self._auto_origin = volume_origin is None
         origin = volume_origin or (-resolution * cfg.voxel_size / 2,
                                    -resolution * cfg.voxel_size / 2, 0.0)
         self.volume = _tsdf.make_volume(
@@ -83,6 +91,7 @@ class StreamingFusion:
         # right for short scans and latency-sensitive live views
         self._consume_batch = max(1, int(consume_batch))
         self._step_batch = None
+        self._max_frames: Optional[int] = None
         self._threads: List[threading.Thread] = []
         # Keyframe tracking: register each frame against a reference
         # keyframe instead of the previous frame, so per-step odometry bias
@@ -107,7 +116,13 @@ class StreamingFusion:
         import jax
 
         fps = FPSCounter(self.logger, "capture")
+        queued = 0
         while not self.stop_event.is_set():
+            if self._max_frames is not None and queued >= self._max_frames:
+                # stop enqueueing at the cap; frames already queued still
+                # fuse (the consumer drains before honoring stop_event)
+                self.stop_event.set()
+                break
             try:
                 frame = self.camera.grab()
             except Exception:
@@ -129,6 +144,7 @@ class StreamingFusion:
             dev = (jax.device_put(color), jax.device_put(depth))
             try:
                 self.queue.put(dev, timeout=0.5)
+                queued += 1
                 fps.tick()
             except queue.Full:
                 continue  # drop frame under backpressure (bounded queue)
@@ -278,6 +294,33 @@ class StreamingFusion:
                 self._fuse_one(color, depth, cfg)
                 i += 1
 
+    def _fit_origin(self, depth, cfg):
+        """Center the volume on the first frame's visible surface.
+
+        Robust center = per-axis median of the backprojected valid-depth
+        points (clipped at depth_trunc); origin = center - half-extent.
+        One host sync at scan start, never on the per-frame path.
+        """
+        import dataclasses
+
+        d = np.asarray(depth)
+        m = (d > 0) & (d <= float(cfg.depth_trunc))
+        if not m.any():
+            return  # nothing visible: keep the configured default
+        H, W = d.shape
+        intr = self.intrinsics
+        fx, fy = float(intr.fx), float(intr.fy)
+        cx, cy = float(intr.cx), float(intr.cy)
+        ys, xs = np.nonzero(m)
+        z = d[ys, xs]
+        pts = np.stack([(xs - cx) / fx * z, (ys - cy) / fy * z, z], -1)
+        center = np.median(pts, axis=0)
+        half = self.volume.resolution * float(self.volume.voxel_size) / 2.0
+        origin = jnp.asarray(center - half, jnp.float32)
+        self.volume = dataclasses.replace(self.volume, origin=origin)
+        self.logger.info("auto-fit volume origin to %s (scene median %s)",
+                         np.round(center - half, 3), np.round(center, 3))
+
     def _fuse_one(self, color, depth, cfg):
         color = jnp.asarray(color)
         depth = jnp.asarray(depth)
@@ -285,6 +328,8 @@ class StreamingFusion:
             # first frame: integrate at identity, seat the keyframe
             if self.depth_filters is not None:
                 depth = self.depth_filters(depth)
+            if self._auto_origin:
+                self._fit_origin(depth, cfg)
             eye = jnp.eye(4, dtype=jnp.float32)
             self.volume = _tsdf.integrate_donated(
                 self.volume, depth, self.intrinsics, eye,
@@ -350,12 +395,19 @@ class StreamingFusion:
         del vol, state
         return self
 
-    def start(self, skip_frames: int = 0):
+    def start(self, skip_frames: int = 0, max_frames: Optional[int] = None):
         """skip_frames discards that many grabs before queueing — how a
         restore_checkpoint'd REPLAY scan continues from where it left off
         instead of re-integrating frames 0..k against the restored
         keyframe (live cameras don't need it: their stream has moved on).
+
+        max_frames caps how many frames the capture thread enqueues this
+        run; everything enqueued still fuses, so the run integrates at
+        most max_frames new frames (polling frames_integrated from the
+        caller instead overshoots: batched consumers integrate whole
+        backlogs between polls).
         """
+        self._max_frames = max_frames
         self.camera.open()
         for _ in range(skip_frames):
             if self.camera.grab() is None:

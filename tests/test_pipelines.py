@@ -202,6 +202,52 @@ class TestStreamingFusion:
         assert len(sf.trajectory) == 3
         assert all(np.isfinite(t).all() for t in sf.trajectory)
 
+    def test_auto_origin_meshes_the_golden_scene(self):
+        """With no volume_origin given, the volume must auto-fit to the
+        first frame: the golden capture's surface sits ~1.8 m out, entirely
+        outside the old fixed default (z in [0, R*voxel]), which produced a
+        0-vertex mesh from `cli fuse` on the reference's own data."""
+        import glob
+
+        from recon3d_tpu.pipeline.streaming import integrate_saved_frames
+
+        gold = "/root/reference/test/output"
+        if not glob.glob(f"{gold}/color_*.png"):
+            pytest.skip("golden capture not available")
+        intr = CameraIntrinsics(fx=jnp.float32(616.63), fy=jnp.float32(616.31),
+                                cx=jnp.float32(312.58), cy=jnp.float32(242.22))
+        cfg = _small_cfg("/tmp")
+        sf = integrate_saved_frames(gold, intr, cfg, resolution=96,
+                                    max_frames=3)
+        assert float(jnp.sum(sf.volume.weight)) > 0.0
+        mesh = sf.extract_mesh()
+        verts, tris, _, _ = mesh.to_numpy()
+        assert len(tris) > 500
+        # the auto-fit center must sit at the scene's median depth
+        origin = np.asarray(sf.volume.origin)
+        half = 96 * float(sf.volume.voxel_size) / 2
+        assert 1.0 < origin[2] + half < 2.5
+
+    def test_start_max_frames_caps_integration(self, tmp_path):
+        """start(max_frames=N) integrates at most N frames even when the
+        consumer drains backlogs in batches (polling frames_integrated
+        from the caller used to overshoot: 21 fused for a requested 6)."""
+        import time
+
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+
+        cam = _cam(12, step=0.005)
+        cfg = _small_cfg(tmp_path)
+        sf = StreamingFusion(cam, _intr(), cfg, resolution=96,
+                             volume_origin=(-0.72, -0.72, 0.3),
+                             consume_batch=3)
+        sf.start(max_frames=4)
+        deadline = time.time() + 300
+        while any(t.is_alive() for t in sf._threads) and time.time() < deadline:
+            time.sleep(0.2)
+        sf.stop()
+        assert sf.frames_integrated == 4
+
 
 class TestVisualizer:
     def test_render_cloud_and_mesh_png(self, tmp_path):
