@@ -202,31 +202,61 @@ def extract_triangle_soup(
     return out_tri, out_val, count
 
 
+@jax.jit
+def _weld_device(verts, vvalid, quant):
+    """Group identical quantized vertices on-device.
+
+    verts: (N, 3) f32, vvalid: (N,) bool, quant: scalar quantization step.
+    Returns (vert_sum (N,3), vert_count (N,), inv (N,) group id per input
+    vertex, n_unique) — groups are keyed by round(verts/quant); invalid
+    vertices sort to a trailing sentinel group excluded from the sums.
+    """
+    q = jnp.round(verts / quant).astype(jnp.int32)
+    big = jnp.iinfo(jnp.int32).max
+    q = jnp.where(vvalid[:, None], q, big)
+    perm = jnp.lexsort((q[:, 2], q[:, 1], q[:, 0]))
+    qs = q[perm]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(qs[1:] != qs[:-1], axis=1)])
+    gid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    inv = jnp.zeros_like(gid).at[perm].set(gid)
+    n = verts.shape[0]
+    tgt = jnp.where(vvalid, inv, n)  # out-of-range -> dropped by scatter
+    vert_sum = jnp.zeros((n, 3), jnp.float32).at[tgt].add(
+        jnp.where(vvalid[:, None], verts, 0.0), mode="drop")
+    vert_count = jnp.zeros((n,), jnp.int32).at[tgt].add(1, mode="drop")
+    n_unique = jnp.max(jnp.where(vvalid, inv + 1, 0))
+    return vert_sum, vert_count, inv, n_unique
+
+
 def weld_mesh(tri_soup, tri_valid, voxel_size: float,
               color_fn=None) -> TriangleMesh:
-    """Triangle soup -> indexed TriangleMesh (host-side weld).
+    """Triangle soup -> indexed TriangleMesh.
 
     Quantizes vertices to voxel_size/256 and merges duplicates — the indexed
-    topology Open3D's extract_triangle_mesh returns.
+    topology Open3D's extract_triangle_mesh returns. The weld (lexsort +
+    group + segment-average + inverse map) runs on-device over the full
+    fixed-capacity soup; the host only compacts the first n_unique rows
+    (the former np.unique(axis=0) formulation spent ~1.8 s/extract on host).
     """
     import numpy as np
 
-    tri = np.asarray(tri_soup)[np.asarray(tri_valid)]
-    if len(tri) == 0:
+    soup = jnp.asarray(tri_soup)
+    tvalid = jnp.asarray(tri_valid)
+    vert_sum, vert_count, inv, n_unique = _weld_device(
+        soup.reshape(-1, 3), jnp.repeat(tvalid, 3),
+        jnp.float32(voxel_size / 256.0))
+    n_u = int(n_unique)
+    if n_u == 0:
         return TriangleMesh(
             vertices=jnp.zeros((1, 3), jnp.float32),
             triangles=jnp.zeros((1, 3), jnp.int32),
             vertex_valid=jnp.zeros((1,), bool),
             triangle_valid=jnp.zeros((1,), bool),
         )
-    verts = tri.reshape(-1, 3)
-    q = np.round(verts / (voxel_size / 256.0)).astype(np.int64)
-    uniq, inv = np.unique(q, axis=0, return_inverse=True)
-    out_verts = np.zeros((len(uniq), 3), np.float64)
-    np.add.at(out_verts, inv, verts)
-    counts = np.bincount(inv, minlength=len(uniq))
-    out_verts /= counts[:, None]
-    faces = inv.reshape(-1, 3).astype(np.int32)
+    out_verts = (np.asarray(vert_sum[:n_u], np.float64)
+                 / np.maximum(np.asarray(vert_count[:n_u]), 1)[:, None])
+    faces = np.asarray(inv).reshape(-1, 3)[np.asarray(tvalid)].astype(np.int32)
     # drop degenerate faces (repeated welded vertices)
     good = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (faces[:, 0] != faces[:, 2])
     faces = faces[good]
@@ -236,7 +266,7 @@ def weld_mesh(tri_soup, tri_valid, voxel_size: float,
     return TriangleMesh(
         vertices=jnp.asarray(out_verts, jnp.float32),
         triangles=jnp.asarray(faces),
-        vertex_valid=jnp.ones((len(uniq),), bool),
+        vertex_valid=jnp.ones((n_u,), bool),
         triangle_valid=jnp.ones((len(faces),), bool),
         vertex_colors=colors,
     )
