@@ -90,7 +90,7 @@ def main():
           flush=True)
     t0 = time.perf_counter()
     mesh = _marching.weld_mesh(soup, valid, float(vol.voxel_size))
-    print(f"{'weld_mesh (host)':40s} {(time.perf_counter()-t0)*1e3:9.2f} ms",
+    print(f"{'weld_mesh (device+compact)':40s} {(time.perf_counter()-t0)*1e3:9.2f} ms",
           flush=True)
     print(f"triangles: {int(cnt)}, welded verts: {mesh.vertices.shape[0]}")
 
