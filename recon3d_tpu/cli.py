@@ -268,7 +268,20 @@ def main(argv=None):
                     sf.camera = cam = SyntheticRGBDCamera(
                         n_frames=skip + args.frames)
         sf.start(skip_frames=skip, max_frames=args.frames)
+        # wait for the threads, with two escapes so a wedged fusion thread
+        # (e.g. a device hang) can't block the CLI forever: the frame
+        # target being reached, and a no-progress stall deadline
+        last_n, last_t = -1, time.monotonic()
         while any(t.is_alive() for t in sf._threads):
+            n = sf.frames_integrated
+            if args.frames is not None and n >= args.frames:
+                break
+            if n != last_n:
+                last_n, last_t = n, time.monotonic()
+            elif time.monotonic() - last_t > 600.0:
+                print("fusion made no progress for 600 s; stopping",
+                      file=sys.stderr)
+                break
             time.sleep(0.25)
         sf.stop()
         if args.checkpoint:

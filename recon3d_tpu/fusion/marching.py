@@ -208,10 +208,18 @@ def _weld_device(verts, vvalid, quant):
 
     verts: (N, 3) f32, vvalid: (N,) bool, quant: scalar quantization step.
     Returns (vert_sum (N,3), vert_count (N,), inv (N,) group id per input
-    vertex, n_unique) — groups are keyed by round(verts/quant); invalid
-    vertices sort to a trailing sentinel group excluded from the sums.
+    vertex, n_unique) — groups are keyed by round((verts - vmin)/quant);
+    invalid vertices sort to a trailing sentinel group excluded from the
+    sums. Recentering on the soup's min valid vertex keeps the integer keys
+    small: without it, a far origin (|key| ~ 1e6 at small voxel_size) erodes
+    the f32 rounding margin so coincident-but-not-bitwise-equal vertices
+    from adjacent tets can weld inconsistently, and extreme origin/quant
+    ratios overflow int32 silently.
     """
-    q = jnp.round(verts / quant).astype(jnp.int32)
+    vmin = jnp.min(jnp.where(vvalid[:, None], verts,
+                             jnp.float32(3.4e38)), axis=0)
+    vmin = jnp.where(jnp.any(vvalid), vmin, 0.0)
+    q = jnp.round((verts - vmin) / quant).astype(jnp.int32)
     big = jnp.iinfo(jnp.int32).max
     q = jnp.where(vvalid[:, None], q, big)
     perm = jnp.lexsort((q[:, 2], q[:, 1], q[:, 0]))

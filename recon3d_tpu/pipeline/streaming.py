@@ -363,13 +363,14 @@ class StreamingFusion:
     def warmup(self, color, depth) -> "StreamingFusion":
         """Compile the consumer's device programs before streaming starts.
 
-        Runs the per-frame step (and the batch program when consume_batch >
-        1) once on a sacrificial copy of the still-empty volume, with the
-        sample frame as both keyframe and input. XLA compiles of the
-        odometry+integrate programs take tens of seconds on a tunneled
-        chip; without this they land inside the live measurement window
-        (and cost the first real frames of any scan). The real volume and
-        tracking state are untouched.
+        Runs the first-frame program (integrate_donated at identity, plus
+        the depth-filter chain), the per-frame step, and the batch program
+        (when consume_batch > 1) once on a sacrificial copy of the
+        still-empty volume, with the sample frame as both keyframe and
+        input. XLA compiles of the odometry+integrate programs take tens of
+        seconds on a tunneled chip; without this they land inside the live
+        measurement window (and cost the first real frames of any scan).
+        The real volume and tracking state are untouched.
         """
         cfg = self.config.fusion
         color = jax.device_put(color)
@@ -380,6 +381,14 @@ class StreamingFusion:
             self._step_batch = self._build_step_batch(cfg)
         eye = jnp.eye(4, dtype=jnp.float32)
         vol = jax.tree.map(jnp.copy, self.volume)
+        # frame 0 of a real scan runs integrate_donated (+ depth filters)
+        # rather than _step: compile that path too, on the sacrificial copy
+        wdepth = depth if self.depth_filters is None \
+            else self.depth_filters(depth)
+        vol = _tsdf.integrate_donated(
+            vol, wdepth, self.intrinsics, eye,
+            color=color if cfg.color else None,
+            depth_trunc=cfg.depth_trunc)
         state = _TrackState(
             world_from_cam=eye, world_from_key=jnp.copy(eye),
             rel_init=jnp.copy(eye), key_color=jnp.copy(color),
