@@ -24,11 +24,27 @@ import time
 
 import numpy as np
 
-# persistent compilation cache: the fused Pallas cost kernel compiles in
-# ~5 min cold; the cache (pre-warmed in-repo) makes repeat runs start fast
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+# persistent compilation cache (pre-warmed in-repo by tools/warm_cache.py)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+
+
+def _enable_compile_cache():
+    """Point jax at the committed .jax_cache via jax.config, not env vars.
+
+    This environment's sitecustomize imports jax at interpreter startup, so
+    by the time this module sets JAX_COMPILATION_CACHE_DIR the config has
+    already been read with the cache dir unset — rounds 1-2 benched with
+    the persistent cache silently disabled (compile_s 90-160 s every run;
+    the round-3 probe's cache log shows 'cache is disabled/not initialized'
+    on every lookup). jax.config.update works at any time.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def _forward_xy(x, y, H, W):
@@ -64,14 +80,20 @@ def _inverse_maps(H, W, iters=12):
     return x.astype(np.float32), y.astype(np.float32)
 
 
-def main():
+def build_headline():
+    """The exact headline program + inputs, shared with tools/warm_cache.py
+    (same construction -> same jit cache key -> the committed .jax_cache
+    entry the warmer writes is the one the bench loads).
+
+    Returns (frame_fn, (jl, jr, jc, plan, jQ), scene) where scene carries
+    everything the accuracy cross-checks need.
+    """
     import cv2
     import jax
     import jax.numpy as jnp
 
     from recon3d_tpu.camera.fake import FakeStereoCamera
     from recon3d_tpu.config import StereoMatcherConfig, WLSConfig
-    from recon3d_tpu.depth import sgm_pallas
     from recon3d_tpu.depth.matcher import compute_disparity
     from recon3d_tpu.ops.warp import build_remap_plan, remap_two_pass_pallas
     from recon3d_tpu.pointcloud.backproject import backproject_disparity
@@ -132,6 +154,27 @@ def main():
     jr = jnp.asarray(raw_r)
     jc = jnp.asarray(raw_color)
     jQ = jnp.asarray(Q)
+    scene = dict(W=W, H=H, D=D, rect_l=rect_l, rect_r=rect_r,
+                 disp_true=disp_true, mx=mx, my=my, raw_l=raw_l,
+                 raw_r=raw_r, plan=plan)
+    return frame, (jl, jr, jc, plan, jQ), scene
+
+
+def main():
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from recon3d_tpu.depth import sgm_pallas
+
+    frame, (jl, jr, jc, plan, jQ), scene = build_headline()
+    W, H, D = scene["W"], scene["H"], scene["D"]
+    rect_l, rect_r = scene["rect_l"], scene["rect_r"]
+    disp_true = scene["disp_true"]
+    mx, my = scene["mx"], scene["my"]
+    raw_l, raw_r = scene["raw_l"], scene["raw_r"]
 
     t0 = time.perf_counter()
     out = frame(jl, jr, jc, plan, jQ)
