@@ -339,8 +339,10 @@ def main():
         s_intr = CameraIntrinsics(
             fx=jnp.float32(616.63), fy=jnp.float32(616.31),
             cx=jnp.float32(312.58), cy=jnp.float32(242.22))
+        # DEFAULT config: consume_batch defaults to "auto" (adaptive
+        # backlog batching), so this measures what `recon3d fuse` ships
         sf = StreamingFusion(s_cam, s_intr, ScannerConfig(),
-                             resolution=256, consume_batch=8)
+                             resolution=256)
         # compile both consumer programs BEFORE the clock starts: the
         # window below must measure steady-state throughput, not XLA
         # compiles (round-1 recorded 1.16 fps because the batch program

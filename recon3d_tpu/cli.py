@@ -133,11 +133,13 @@ def main(argv=None):
         if name == "fuse":
             sp.add_argument("--resume", default=None, metavar="CKPT",
                             help="resume fusion from a save_checkpoint NPZ")
-            sp.add_argument("--consume_batch", type=int, default=1,
+            sp.add_argument("--consume_batch", default="auto",
+                            type=lambda v: v if v == "auto" else int(v),
                             help="fuse queue backlogs as one scanned "
                                  "device program over N frames (amortizes "
                                  "dispatch latency; adds up to N-1 frames "
-                                 "of pose latency)")
+                                 "of pose latency). Default 'auto' adapts "
+                                 "N to the backlog; 1 disables batching")
             sp.add_argument("--checkpoint", default=None, metavar="CKPT",
                             help="write a volume+tracking checkpoint here "
                                  "after the run (resumable with --resume)")

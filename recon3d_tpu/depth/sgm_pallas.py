@@ -853,8 +853,11 @@ def aggregate_and_finalize(
                    jax.ShapeDtypeStruct((HP, WP), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((3, WP, DP), jnp.float32) if with_diag
                         else pltpu.VMEM((WP, DP), jnp.float32)],
+        # 117 MB, not 100: the reverse ("up") sweep's stack liveness peaks
+        # ~110 MB at 1080p/D=128 (the forward sweep fits 100), and v5e VMEM
+        # is 128 MB — at 100 MB the 4/8-direction modes OOM'd at compile
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=117 * 1024 * 1024),
         interpret=interpret,
     )(cost_u16, v3)
 

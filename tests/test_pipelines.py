@@ -485,6 +485,37 @@ class TestBatchedConsumer:
                                        np.asarray(seq.trajectory[k]),
                                        atol=1e-5)
 
+    def test_auto_batching_matches_sequential(self, tmp_path):
+        """The default adaptive mode (consume_batch="auto") decomposes an
+        arbitrary backlog into power-of-two batch programs + per-frame
+        remainders and must agree with one-at-a-time fusion. 8 frames:
+        frame 0 seats the keyframe singly, then 4+2+1 batch dispatches."""
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+
+        cam = _cam(8, step=0.008)
+        cam.open()
+        frames = [cam.grab() for _ in range(8)]
+        cfg = _small_cfg(tmp_path)
+        kw = dict(resolution=96, volume_origin=(-0.72, -0.72, 0.3))
+
+        seq = StreamingFusion(None, _intr(), cfg, consume_batch=1, **kw)
+        for c, d in frames:
+            seq._fuse_one(jnp.asarray(c), jnp.asarray(d), cfg.fusion)
+
+        auto = StreamingFusion(None, _intr(), cfg, **kw)  # default "auto"
+        assert auto._batch_sizes == [8, 4, 2]
+        auto._fuse_frames(frames, cfg.fusion)
+        # 8 frames = 1 (keyframe) + batches of 4 + 2 + per-frame 1
+        assert sorted(auto._step_batches) == [2, 4]
+
+        assert auto.frames_integrated == seq.frames_integrated == 8
+        assert len(auto.trajectory) == 8
+        np.testing.assert_allclose(np.asarray(auto._state.world_from_cam),
+                                   np.asarray(seq._state.world_from_cam),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(auto.volume.tsdf),
+                                   np.asarray(seq.volume.tsdf), atol=1e-4)
+
 
 class TestThreadLifecycle:
     def test_start_stop_churn_never_wedges(self, tmp_path):
