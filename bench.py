@@ -80,10 +80,13 @@ def _inverse_maps(H, W, iters=12):
     return x.astype(np.float32), y.astype(np.float32)
 
 
-def build_headline():
+def build_headline(mode: str = "sgm4", p2_mult: float | None = 3.0):
     """The exact headline program + inputs, shared with tools/warm_cache.py
     (same construction -> same jit cache key -> the committed .jax_cache
     entry the warmer writes is the one the bench loads).
+
+    mode/p2_mult parameterize the matcher (the accuracy-mode experiments
+    drive sgm8 + raised P2 through the same program).
 
     Returns (frame_fn, (jl, jr, jc, plan, jQ), scene) where scene carries
     everything the accuracy cross-checks need.
@@ -132,10 +135,21 @@ def build_headline():
     Q[0, 3], Q[1, 3] = -W / 2.0, -H / 2.0
     Q[2, 3], Q[3, 2] = focal, 1.0 / baseline
 
-    # mode-matched to the reference's production matcher: depth4.py:157-170
-    # runs cv2.StereoSGBM MODE_SGBM_3WAY, whose direction set {L,R,down}
-    # is sgm3 here (one path-scan cheaper than 4-direction HH4)
-    mcfg = StereoMatcherConfig(num_disparities=D, block_size=5, mode="sgm3")
+    # Production default: 4-direction SGM with the large-jump smoothness
+    # penalty raised to P2 = 96*w^2. The round-3 sweep on the real chip
+    # (tools/exp_truth.py / exp_headline_fps.py) measured, end-to-end at
+    # 1080p/D=128 vs the analytic truth:
+    #     sgm3 (cv2-3WAY-matched)  1.248 px   33.1 fps
+    #     sgm4 + P2x3              0.930 px   31.4 fps   <- this config
+    #     sgm8 + P2x4              0.851 px   25.4 fps   (accuracy preset)
+    #     cv2 SGBM 3WAY            1.111 px   (the reference's matcher,
+    #     cv2 SGBM HH              1.019 px    depth4.py:157-170)
+    # i.e. the shipped config beats the reference's production matcher by
+    # 16% on ground truth while clearing the >30 fps north star. The
+    # mode-matched sgm3 parity numbers are still reported below.
+    mcfg = StereoMatcherConfig(
+        num_disparities=D, block_size=5, mode=mode,
+        p2_factor=32 if p2_mult is None else int(round(32 * p2_mult)))
     wcfg = WLSConfig()
 
     @jax.jit
@@ -233,7 +247,7 @@ def main():
     # the divergence decomposes by swapping one stage at a time.
     # Guarded: the full-pipeline cross-check must not lose the headline.
     rmse_cv_full = full_ours_truth = full_cv2_truth = None
-    decomp_matcher = decomp_warp = None
+    decomp_matcher = decomp_warp = full_ours_truth_mm = None
     try:
         def rmse(a, b, m):
             return round(float(np.sqrt(((a[m] - b[m]) ** 2).mean())), 4)
@@ -250,10 +264,11 @@ def main():
         interior = np.zeros((H, W), bool)
         interior[m_y:H - m_y, m_x + D:W - m_x] = True  # +D: SGM left band
 
-        def ours_match(l8, r8):
+        def ours_match(l8, r8, ndir=3, p2=32 * 25):
             dd, vv = sgm_pallas.sgm_disparity_pallas(
                 jnp.asarray(l8, jnp.float32), jnp.asarray(r8, jnp.float32),
-                num_disparities=D, block_size=5, num_directions=3)
+                num_disparities=D, block_size=5, num_directions=ndir,
+                p2=float(p2))
             return np.asarray(dd), np.asarray(vv)
 
         wl = to8(np.asarray(remap_two_pass_pallas(jl, plan)))
@@ -261,14 +276,28 @@ def main():
         cvl8 = to8(cv2.remap(raw_l, mx, my, cv2.INTER_LINEAR))
         cvr8 = to8(cv2.remap(raw_r, mx, my, cv2.INTER_LINEAR))
 
-        d_ours_full, v_ours_full = ours_match(wl, wr)      # our warp+matcher
         d_cv_full = sgbm.compute(cvl8, cvr8).astype(np.float32) / 16.0
-        both_f = v_ours_full & (d_cv_full > 0) & interior
-        rmse_cv_full = rmse(d_ours_full, d_cv_full, both_f)
-        tm = v_ours_full & (disp_true > 1.0) & interior
-        full_ours_truth = rmse(d_ours_full, disp_true, tm)
+
+        # ours-vs-truth runs the PRODUCTION config (sgm4, P2=96*w^2 —
+        # exactly what the headline frame times); cv2-vs-truth runs the
+        # reference's production matcher (3WAY). This is the
+        # matching-or-beating comparison: both pipelines on the same raw
+        # pair + maps, scored against the analytic disparity field.
+        d_prod, v_prod = ours_match(wl, wr, ndir=4, p2=96 * 25)
+        tm = v_prod & (disp_true > 1.0) & interior
+        full_ours_truth = rmse(d_prod, disp_true, tm)
         tm = (d_cv_full > 0) & (disp_true > 1.0) & interior
         full_cv2_truth = rmse(d_cv_full, disp_true, tm)
+
+        # mode-matched parity + decomposition (sgm3 == cv2 3WAY's
+        # direction set, cv2's P1/P2): how close we can reproduce cv2
+        # when configured identically
+        d_ours_full, v_ours_full = ours_match(wl, wr)      # our warp+matcher
+        both_f = v_ours_full & (d_cv_full > 0) & interior
+        rmse_cv_full = rmse(d_ours_full, d_cv_full, both_f)
+        full_ours_truth_mm = rmse(
+            d_ours_full, disp_true,
+            v_ours_full & (disp_true > 1.0) & interior)
 
         # decomposition: swap one stage at a time against cv2-full
         d_sw, v_sw = ours_match(cvl8, cvr8)  # cv2 warp -> OUR matcher
@@ -443,9 +472,11 @@ def main():
             "rmse_vs_cv2_sgbm_px": round(rmse_cv, 4),
             "rmse_vs_cv2_sgbm_5path_px": round(rmse_cv_default, 4),
             "rmse_vs_cv2_sgbm_hh_px": round(rmse_cv_hh, 4),
+            "headline_matcher": "sgm4_p2x96",
             "rmse_vs_cv2_full_pipeline_px": rmse_cv_full,
             "full_ours_vs_truth_px": full_ours_truth,
             "full_cv2_vs_truth_px": full_cv2_truth,
+            "full_ours_vs_truth_modematched_px": full_ours_truth_mm,
             "full_decomp_matcher_px": decomp_matcher,
             "full_decomp_warp_px": decomp_warp,
             "rmse_vs_analytic_truth_px": round(rmse_truth, 4),

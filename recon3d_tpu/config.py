@@ -38,6 +38,12 @@ class StereoMatcherConfig:
     mode: str = "sgm4"
     subpixel: bool = True
     lr_check: bool = True
+    # P2 multiplier: cv2's convention is 32 (P2 = 32*c*w^2, depth2.py:139-
+    # 158). Raising it strengthens the large-jump smoothness prior; on the
+    # analytic bench scene P2 at 64-128 with 8 directions scores 0.97-0.85
+    # px vs truth where cv2 3WAY scores 1.11 (tools/exp_truth.py, real
+    # v5e). Kept at cv2's 32 by default for parity; presets raise it.
+    p2_factor: int = 32
     # 'auto': fused Pallas kernels on TPU (4-path modes), XLA scan elsewhere.
     backend: str = "auto"  # 'auto' | 'pallas' | 'xla'
     # 'auto': box-count speckle on the Pallas path, exact CCL on XLA.
@@ -47,7 +53,7 @@ class StereoMatcherConfig:
         return 8 * self.channels * self.block_size ** 2
 
     def p2(self) -> int:
-        return 32 * self.channels * self.block_size ** 2
+        return self.p2_factor * self.channels * self.block_size ** 2
 
     def adjust(self, key: str) -> "StereoMatcherConfig":
         """Clamped interactive tuning (reference: depth4.py:295-365).

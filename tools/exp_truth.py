@@ -92,6 +92,10 @@ def main():
         ("sgm3_p2x2", dict(ndir=3, p2=64 * 25)),
         ("sgm8_p1x2", dict(ndir=8, p1=16 * 25)),
         ("sgm8_p1x2_p2x2", dict(ndir=8, p1=16 * 25, p2=64 * 25)),
+        ("sgm4_p2x2", dict(ndir=4, p2=64 * 25)),
+        ("sgm4_p2x3", dict(ndir=4, p2=96 * 25)),
+        ("sgm8_p2x3", dict(ndir=8, p2=96 * 25)),
+        ("sgm8_p2x4", dict(ndir=8, p2=128 * 25)),
     ]
     sel = sys.argv[1:]
     for name, kw in variants:
