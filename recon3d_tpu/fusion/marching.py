@@ -112,6 +112,63 @@ def _tet_validity(vals, ok):
 _TETS_ARR = _np.array(_TETS, _np.int32)  # (6, 4) corner ids per tet
 
 
+def _slab_tris(vol: TSDFVolume, z0, z_lo, slab: int, cap_per_slab: int,
+               weight_min: float):
+    """Triangles for cubes whose corner z lies in [z0, z0+slab), compacted
+    to a (cap_per_slab, 3, 3) buffer + validity + count.
+
+    z_lo masks cubes already emitted by the previous slab (the last slab
+    is shifted to stay in-bounds and would otherwise overlap). Shared by
+    the full-scan extract_triangle_soup and the incremental mesher's
+    dirty-slab refresh, so the two paths are bitwise-identical per slab.
+    """
+    t, w, R = vol.tsdf, vol.weight, vol.resolution
+    X, Y, Z = R - 1, R - 1, slab
+    K = Z * 12
+    # cubes with corner z in [z0, z0+slab): a (R, R, slab+1) z-window
+    tw = jax.lax.dynamic_slice_in_dim(t, z0, slab + 1, axis=2)
+    ww = jax.lax.dynamic_slice_in_dim(w, z0, slab + 1, axis=2)
+    # corner values for each cube: (X, Y, Z, 8)
+    vals = jnp.stack([
+        tw[(c & 1):(c & 1) + X, ((c >> 1) & 1):((c >> 1) & 1) + Y,
+           ((c >> 2) & 1):((c >> 2) & 1) + Z] for c in range(8)], -1)
+    wok = None
+    for c in range(8):
+        wc = ww[(c & 1):(c & 1) + X, ((c >> 1) & 1):((c >> 1) & 1) + Y,
+                ((c >> 2) & 1):((c >> 2) & 1) + Z] >= weight_min
+        wok = wc if wok is None else (wok & wc)
+    zidx = z0 + jnp.arange(Z)
+    ok = wok & (zidx >= z_lo)[None, None, :]
+
+    # ---- compaction on validity bits only (no geometry yet)
+    val = _tet_validity(vals, ok).reshape(X * Y, K)  # (G, K)
+    counts = jnp.sum(val.astype(jnp.int32), axis=1)  # (G,)
+    order = jnp.argsort(~val, axis=1, stable=True)   # (G, K) lane sort
+    cum = jnp.cumsum(counts)                         # inclusive
+    total = cum[-1]
+    r = jnp.arange(cap_per_slab, dtype=jnp.int32)
+    g = jnp.clip(jnp.searchsorted(cum, r, side="right"), 0, X * Y - 1)
+    local = jnp.clip(r - (cum[g] - counts[g]), 0, K - 1)
+    k = order[g, local]                              # (cap,) candidate id
+    n = jnp.minimum(total, cap_per_slab)
+    sel = r < n
+
+    # ---- geometry for survivors only
+    x = g // Y
+    y = g % Y
+    z_rel = k // 12
+    tet_i = (k % 12) // 2
+    ab = k % 2
+    cids = jnp.asarray(_TETS_ARR)[tet_i]             # (cap, 4)
+    vv = vals[x[:, None], y[:, None], z_rel[:, None], cids]  # (cap, 4)
+    base = jnp.stack([x, y, z0 + z_rel], -1).astype(jnp.float32)
+    pp = (base[:, None, :] + jnp.asarray(_CORNER_OFFSETS)[cids]) \
+        * vol.voxel_size + vol.origin                # (cap, 4, 3)
+    ta, tb, _, _ = _tet_triangles(pp, vv, sel)
+    tri = jnp.where((ab == 1)[:, None, None], tb, ta)
+    return tri, sel, n
+
+
 @partial(jax.jit, static_argnames=("max_triangles", "slab"))
 def extract_triangle_soup(
     vol: TSDFVolume,
@@ -131,59 +188,12 @@ def extract_triangle_soup(
     keys per slab — 32 s for a 256^3 volume on a v5e; this one is
     elementwise + O(cap) gathers.
     """
-    t = vol.tsdf
-    w = vol.weight
     R = vol.resolution
     n_slabs = (R - 1) // slab + (1 if (R - 1) % slab else 0)
-    X, Y, Z = R - 1, R - 1, slab
-    K = Z * 12
-    cap_per_slab = min(max_triangles // n_slabs + 1, X * Y * K)
+    cap_per_slab = min(max_triangles // n_slabs + 1, (R - 1) * (R - 1) * slab * 12)
 
     def slab_tris(z0, z_lo):
-        # cubes with corner z in [z0, z0+slab): a (R, R, slab+1) z-window.
-        # z_lo masks cubes already emitted by the previous slab (the last
-        # slab is shifted to stay in-bounds and would otherwise overlap).
-        tw = jax.lax.dynamic_slice_in_dim(t, z0, slab + 1, axis=2)
-        ww = jax.lax.dynamic_slice_in_dim(w, z0, slab + 1, axis=2)
-        # corner values for each cube: (X, Y, Z, 8)
-        vals = jnp.stack([
-            tw[(c & 1):(c & 1) + X, ((c >> 1) & 1):((c >> 1) & 1) + Y,
-               ((c >> 2) & 1):((c >> 2) & 1) + Z] for c in range(8)], -1)
-        wok = None
-        for c in range(8):
-            wc = ww[(c & 1):(c & 1) + X, ((c >> 1) & 1):((c >> 1) & 1) + Y,
-                    ((c >> 2) & 1):((c >> 2) & 1) + Z] >= weight_min
-            wok = wc if wok is None else (wok & wc)
-        zidx = z0 + jnp.arange(Z)
-        ok = wok & (zidx >= z_lo)[None, None, :]
-
-        # ---- compaction on validity bits only (no geometry yet)
-        val = _tet_validity(vals, ok).reshape(X * Y, K)  # (G, K)
-        counts = jnp.sum(val.astype(jnp.int32), axis=1)  # (G,)
-        order = jnp.argsort(~val, axis=1, stable=True)   # (G, K) lane sort
-        cum = jnp.cumsum(counts)                         # inclusive
-        total = cum[-1]
-        r = jnp.arange(cap_per_slab, dtype=jnp.int32)
-        g = jnp.clip(jnp.searchsorted(cum, r, side="right"), 0, X * Y - 1)
-        local = jnp.clip(r - (cum[g] - counts[g]), 0, K - 1)
-        k = order[g, local]                              # (cap,) candidate id
-        n = jnp.minimum(total, cap_per_slab)
-        sel = r < n
-
-        # ---- geometry for survivors only
-        x = g // Y
-        y = g % Y
-        z_rel = k // 12
-        tet_i = (k % 12) // 2
-        ab = k % 2
-        cids = jnp.asarray(_TETS_ARR)[tet_i]             # (cap, 4)
-        vv = vals[x[:, None], y[:, None], z_rel[:, None], cids]  # (cap, 4)
-        base = jnp.stack([x, y, z0 + z_rel], -1).astype(jnp.float32)
-        pp = (base[:, None, :] + jnp.asarray(_CORNER_OFFSETS)[cids]) \
-            * vol.voxel_size + vol.origin                # (cap, 4, 3)
-        ta, tb, _, _ = _tet_triangles(pp, vv, sel)
-        tri = jnp.where((ab == 1)[:, None, None], tb, ta)
-        return tri, sel, n
+        return _slab_tris(vol, z0, z_lo, slab, cap_per_slab, weight_min)
 
     def body(carry, i):
         out_tri, out_val, cursor = carry
@@ -237,21 +247,91 @@ def _weld_device(verts, vvalid, quant):
     return vert_sum, vert_count, inv, n_unique
 
 
+@partial(jax.jit, static_argnames=("table_bits", "probes"))
+def _weld_device_hash(verts, vvalid, quant, table_bits: int = 22,
+                      probes: int = 16):
+    """Sort-free weld: open-addressing hash table over quantized coords.
+
+    Same contract as _weld_device — (vert_sum (N,3), vert_count (N,),
+    inv (N,) group id, n_unique) — except group ids are assigned by
+    hash-slot rank instead of lexicographic key order (weld_mesh never
+    relies on the order). Replaces the O(N log^2 N) bitonic lexsort with
+    O(probes * N) scatter/gather rounds: each round scatter-mins candidate
+    indices into empty slots, then every unresolved vertex checks whether
+    the slot owner's key matches its own (the owner always matches itself,
+    so every claimed slot resolves at least one vertex and the loop
+    strictly progresses). Same-key vertices share a probe sequence, so a
+    key can never split across two slots.
+
+    At the default table (4M slots) and a 1.57M-vertex soup the load is
+    <0.4 and 16 quadratic probes resolve everything in practice; any
+    leftover (adversarial hash collisions) degrades gracefully to
+    singleton vertices — the mesh stays valid, coincident copies just
+    don't merge.
+    """
+    N = verts.shape[0]
+    S = 1 << table_bits
+    vmin = jnp.min(jnp.where(vvalid[:, None], verts,
+                             jnp.float32(3.4e38)), axis=0)
+    vmin = jnp.where(jnp.any(vvalid), vmin, 0.0)
+    q = jnp.round((verts - vmin) / quant).astype(jnp.int32)
+    q = jnp.where(vvalid[:, None], q, -1)
+
+    # 3-coordinate mix (classic spatial-hash primes); int32 overflow wraps
+    h = ((q[:, 0] * jnp.int32(73856093))
+         ^ (q[:, 1] * jnp.int32(19349663))
+         ^ (q[:, 2] * jnp.int32(83492791))) & (S - 1)
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    owner = jnp.full((S,), N, jnp.int32)          # N = empty
+    slot_of = jnp.zeros((N,), jnp.int32)
+    unresolved = vvalid
+    cur = h
+    for p in range(probes):
+        tgt = jnp.where(unresolved, cur, S)       # masked-out -> dropped
+        claim = jnp.full((S,), N, jnp.int32).at[tgt].min(idx, mode="drop")
+        owner = jnp.where(owner == N, claim, owner)
+        own_i = owner[cur]
+        own_q = q[jnp.clip(own_i, 0, N - 1)]
+        match = unresolved & (own_i < N) & jnp.all(own_q == q, axis=1)
+        slot_of = jnp.where(match, cur, slot_of)
+        unresolved = unresolved & ~match
+        cur = (cur + 2 * p + 1) & (S - 1)         # quadratic probing
+
+    occupied = owner < N
+    rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1   # (S,)
+    n_slots = jnp.sum(occupied.astype(jnp.int32))
+    resolved = vvalid & ~unresolved
+    extra = jnp.cumsum(unresolved.astype(jnp.int32)) - 1
+    inv = jnp.where(resolved, rank[slot_of],
+                    jnp.where(unresolved, n_slots + extra, 0))
+    n_unique = n_slots + jnp.sum(unresolved.astype(jnp.int32))
+
+    tgt = jnp.where(vvalid, inv, N)
+    vert_sum = jnp.zeros((N, 3), jnp.float32).at[tgt].add(
+        jnp.where(vvalid[:, None], verts, 0.0), mode="drop")
+    vert_count = jnp.zeros((N,), jnp.int32).at[tgt].add(1, mode="drop")
+    return vert_sum, vert_count, inv, n_unique
+
+
 def weld_mesh(tri_soup, tri_valid, voxel_size: float,
-              color_fn=None) -> TriangleMesh:
+              color_fn=None, method: str = "hash") -> TriangleMesh:
     """Triangle soup -> indexed TriangleMesh.
 
     Quantizes vertices to voxel_size/256 and merges duplicates — the indexed
-    topology Open3D's extract_triangle_mesh returns. The weld (lexsort +
-    group + segment-average + inverse map) runs on-device over the full
-    fixed-capacity soup; the host only compacts the first n_unique rows
-    (the former np.unique(axis=0) formulation spent ~1.8 s/extract on host).
+    topology Open3D's extract_triangle_mesh returns. The weld runs
+    on-device over the full fixed-capacity soup; the host only compacts
+    the first n_unique rows (the former np.unique(axis=0) formulation
+    spent ~1.8 s/extract on host). method="hash" (default) groups by
+    open-addressing hash (_weld_device_hash, sort-free); "sort" keeps the
+    lexsort formulation as the oracle twin.
     """
     import numpy as np
 
     soup = jnp.asarray(tri_soup)
     tvalid = jnp.asarray(tri_valid)
-    vert_sum, vert_count, inv, n_unique = _weld_device(
+    weld = _weld_device_hash if method == "hash" else _weld_device
+    vert_sum, vert_count, inv, n_unique = weld(
         soup.reshape(-1, 3), jnp.repeat(tvalid, 3),
         jnp.float32(voxel_size / 256.0))
     n_u = int(n_unique)

@@ -87,6 +87,7 @@ def _integrate(
     color: Optional[jax.Array] = None,
     depth_trunc: float = 3.0,
     weight_max: float = 64.0,
+    with_changed_z: bool = False,
 ) -> TSDFVolume:
     """Fuse one depth (+color) frame.
 
@@ -94,6 +95,13 @@ def _integrate(
     to ScalableTSDFVolume.integrate, mini1.py:352-356 uses inv(world pose)).
     weight_max caps accumulated weights so long streams keep moving-average
     behavior instead of freezing (Open3D bounds its weights the same way).
+
+    with_changed_z=True additionally returns a (R,) bool z-profile of
+    MESH-RELEVANT change — tsdf value changed bitwise, or the weight
+    crossed the extraction threshold (weight_min=1.0) — which the
+    incremental mesher maps to dirty z-slabs. Free-space voxels re-hit by
+    later frames stay bitwise at +1.0 ((w*1+1)/(w+1) is exact in f32), so
+    the profile tracks the visible surface shell, not the whole frustum.
     """
     R = vol.resolution
     # voxel centers in world space
@@ -136,6 +144,9 @@ def _integrate(
             vol.color,
         )
         out = dataclasses.replace(out, color=cnew)
+    if with_changed_z:
+        changed = (tsdf != vol.tsdf) | ((w_tot >= 1.0) != (w_old >= 1.0))
+        return out, jnp.any(changed, axis=(0, 1))
     return out
 
 

@@ -70,6 +70,44 @@ class TestMarching:
         assert outward.mean() > 0.99  # consistent outward winding
 
 
+class TestHashWeld:
+    def test_hash_weld_matches_sort_weld(self):
+        """The sort-free hash weld must produce the same mesh as the
+        lexsort oracle: identical vertex SET (averaged positions) and
+        identical face set under the vertex correspondence — group ids
+        are permuted (slot rank vs lexicographic), never merged or
+        split."""
+        vol, _ = _sphere_volume()
+        soup, valid, _ = M.extract_triangle_soup(vol, max_triangles=1 << 16)
+        m_sort = M.weld_mesh(soup, valid, 0.05, method="sort")
+        m_hash = M.weld_mesh(soup, valid, 0.05, method="hash")
+
+        vs, ts, _, _ = m_sort.to_numpy()
+        vh, th, _, _ = m_hash.to_numpy()
+        assert len(vh) == len(vs)
+        assert len(th) == len(ts)
+
+        # canonical order: sort both vertex sets lexicographically
+        def canon(v, t):
+            order = np.lexsort((v[:, 2], v[:, 1], v[:, 0]))
+            remap = np.empty(len(v), np.int64)
+            remap[order] = np.arange(len(v))
+            faces = np.sort(remap[t], axis=1)
+            faces = faces[np.lexsort(faces.T[::-1])]
+            return v[order], faces
+
+        cvs, cts = canon(vs, ts)
+        cvh, cth = canon(vh, th)
+        np.testing.assert_allclose(cvh, cvs, atol=1e-6)
+        np.testing.assert_array_equal(cth, cts)
+
+    def test_hash_weld_empty_soup(self):
+        soup = jnp.zeros((16, 3, 3), jnp.float32)
+        valid = jnp.zeros((16,), bool)
+        mesh = M.weld_mesh(soup, valid, 0.05, method="hash")
+        assert int(np.sum(np.asarray(mesh.triangle_valid))) == 0
+
+
 class TestTSDFIntegration:
     def test_integrate_synthetic_frames_and_extract(self):
         from recon3d_tpu.camera.fake import SyntheticRGBDCamera
