@@ -217,6 +217,102 @@ def _mk_vscan_kernel(bh: int, p1: float, p2: float, reverse: bool):
     return kernel
 
 
+def _mk_vscan_io_kernel(bh: int, p1: float, p2: float, reverse: bool,
+                        nb: int, h_last: int):
+    """Vertical scan with an explicit carry plane in/out — the row-sharded
+    relay's building block (SURVEY.md section 2.5's ring-style carry
+    exchange: each shard's final carry plane feeds the next shard).
+
+    Grid (xtiles, bands). Down (reverse=False): the carry scratch starts
+    from carry_in at band 0, and carry_out snapshots the carry AFTER the
+    last REAL row h_last (rows below are this shard's zero padding, which
+    must not contaminate the plane handed to the next shard). Up
+    (reverse=True): padded rows below h_last are swept first with a zero
+    carry (zero cost keeps it exactly zero); the carry is REPLACED by
+    carry_in when the sweep enters row h_last, and carry_out is the final
+    carry after row 0. Rows are unrolled (static python loop), so the
+    h_last row test folds away everywhere except its own band.
+    """
+    band_of = h_last // bh
+    row_in_band = h_last % bh
+
+    def kernel(cin_ref, cost_ref, acc_ref, out_ref, cout_ref,
+               carry_ref, snap_ref):
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _():
+            carry_ref[:] = cin_ref[:] if not reverse \
+                else jnp.zeros_like(carry_ref)
+            snap_ref[:] = jnp.zeros_like(snap_ref)
+
+        carry = carry_ref[:]
+        # the reverse sweep's BlockSpec maps grid step b to band nb-1-b;
+        # h_last's band test must use the logical band index
+        at_band = ((nb - 1 - b) if reverse else b) == band_of
+        order = range(bh - 1, -1, -1) if reverse else range(bh)
+        for y in order:
+            if reverse and y == row_in_band:
+                # entering the top shard-boundary row from the padding:
+                # adopt the next shard's relayed carry
+                carry = jnp.where(at_band, cin_ref[:], carry)
+            c = _u16f(cost_ref[y])
+            carry = _path_step(carry, c, p1, p2)
+            out_ref[y] = carry + acc_ref[y]
+            if not reverse and y == row_in_band:
+                @pl.when(at_band)
+                def _():
+                    snap_ref[:] = carry  # noqa: B023 — bound per iteration
+
+        carry_ref[:] = carry
+        # every band (re)writes the carry-out block; the final visit wins
+        cout_ref[:] = carry if reverse else snap_ref[:]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("p1", "p2", "reverse", "h_real",
+                                   "interpret"))
+def vscan_carry(cost_u16: jax.Array, acc: jax.Array, carry_in: jax.Array,
+                p1: float, p2: float, reverse: bool, h_real: int,
+                interpret: bool = False):
+    """One shard's vertical path scan with relayed carry planes.
+
+    cost_u16/acc: (HP, WP, DP) padded shard-local volumes (zero rows below
+    h_real). carry_in: (WP, DP) f32 plane from the neighboring shard.
+    Returns (acc + L_vert, carry_out). p1/p2 are UNSCALED (cv2 units);
+    the x2 cost scaling is applied here like aggregate_and_finalize does.
+    """
+    HP, WP, DP = cost_u16.shape
+    _, XT = _pick_xtile(WP)
+    BH3 = 16
+    nb = HP // BH3
+    nx = WP // XT
+    vblock = pl.BlockSpec((BH3, XT, DP), lambda x, b: (b, x, 0),
+                          memory_space=pltpu.VMEM)
+    cblock = pl.BlockSpec((XT, DP), lambda x, b: (x, 0),
+                          memory_space=pltpu.VMEM)
+    if reverse:
+        vblock = pl.BlockSpec((BH3, XT, DP), lambda x, b: (nb - 1 - b, x, 0),
+                              memory_space=pltpu.VMEM)
+    out, carry_out = pl.pallas_call(
+        _mk_vscan_io_kernel(BH3, float(p1) * 2.0, float(p2) * 2.0,
+                            reverse, nb, h_real - 1),
+        grid=(nx, nb),
+        in_specs=[cblock, vblock, vblock],
+        out_specs=(vblock, cblock),
+        out_shape=(jax.ShapeDtypeStruct((HP, WP, DP), jnp.float32),
+                   jax.ShapeDtypeStruct((WP, DP), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((XT, DP), jnp.float32),
+                        pltpu.VMEM((XT, DP), jnp.float32)],
+        input_output_aliases={2: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(carry_in, cost_u16, acc)
+    return out, carry_out
+
+
 def _finalize_body(S, fh: int, d_real: int, d_pad: int, w_pad: int,
                    w_real: int, uniqueness_ratio: int,
                    disp12_max_diff: int, do_subpixel: bool):
@@ -315,6 +411,56 @@ def _finalize_body(S, fh: int, d_real: int, d_pad: int, w_pad: int,
         valid = valid & (jnp.abs(d0f[..., 0] - G) <= disp12_max_diff)
 
     return disp[..., 0], valid.astype(jnp.int32)
+
+
+def _mk_wta_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
+                   w_real: int, uniqueness_ratio: int,
+                   disp12_max_diff: int, do_subpixel: bool):
+    """WTA/subpixel/uniqueness/LR finalize on a PRE-AGGREGATED S band —
+    the row-sharded path aggregates all vertical paths via relayed
+    carry-plane scans first (vscan_carry), then finalizes row-locally."""
+
+    def kernel(S_ref, disp_ref, valid_ref):
+        disp, valid = _finalize_body(S_ref[:], fh, d_real, d_pad, w_pad,
+                                     w_real, uniqueness_ratio,
+                                     disp12_max_diff, do_subpixel)
+        disp_ref[:] = disp
+        valid_ref[:] = valid
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("num_disparities", "uniqueness_ratio",
+                                   "disp12_max_diff", "do_subpixel",
+                                   "w_real", "interpret"))
+def wta_finalize(S: jax.Array, num_disparities: int,
+                 uniqueness_ratio: int = 10, disp12_max_diff: int = 1,
+                 do_subpixel: bool = True, w_real: int | None = None,
+                 interpret: bool = False):
+    """Finalize a fully-aggregated (HP, WP, DP) f32 volume S into
+    (disp_raw f32, valid bool). Row-local (the LR check's shear stays
+    within a row), so the row-sharded path runs it per shard."""
+    HP, WP, DP = S.shape
+    FH = 8
+    nbf = HP // FH
+    fband = pl.BlockSpec((FH, WP, DP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    frow = pl.BlockSpec((FH, WP), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    disp_raw, valid_i32 = pl.pallas_call(
+        _mk_wta_kernel(FH, num_disparities, DP, WP,
+                       WP if w_real is None else w_real,
+                       uniqueness_ratio, disp12_max_diff, do_subpixel),
+        grid=(nbf,),
+        in_specs=[fband],
+        out_specs=(frow, frow),
+        out_shape=(jax.ShapeDtypeStruct((HP, WP), jnp.float32),
+                   jax.ShapeDtypeStruct((HP, WP), jnp.int32)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=117 * 1024 * 1024),
+        interpret=interpret,
+    )(S)
+    return disp_raw, valid_i32 > 0
 
 
 def _mk_vfinalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
@@ -625,6 +771,23 @@ def cost_volume_u16(
     return jnp.round(box).astype(jnp.uint16)
 
 
+def prefilter_planes(left_gray: jax.Array, right_gray: jax.Array,
+                     pre_filter_cap: int):
+    """The six per-pixel planes the cost kernel consumes: x-Sobel
+    prefiltered values + BT lo/hi bounds for both views. Split out so the
+    row-sharded path can compute planes shard-locally (the prefilter's
+    vertical support is one raw-image halo row) and then halo-exchange
+    PLANE rows — exchanging raw rows instead would double-replicate at
+    global edges and diverge from the full-image prefilter."""
+    lpre = _cost.xsobel_prefilter(jnp.asarray(left_gray, jnp.float32),
+                                  pre_filter_cap)
+    rpre = _cost.xsobel_prefilter(jnp.asarray(right_gray, jnp.float32),
+                                  pre_filter_cap)
+    lo_l, hi_l = _cost._bt_bounds(lpre)
+    lo_r, hi_r = _cost._bt_bounds(rpre)
+    return lpre, lo_l, hi_l, rpre, lo_r, hi_r
+
+
 @partial(jax.jit, static_argnames=(
     "num_disparities", "min_disparity", "block_size", "pre_filter_cap",
     "p1", "p2", "hp", "wp", "dp", "with_down", "interpret",
@@ -641,6 +804,7 @@ def cost_fwd_down(
     hp: int, wp: int, dp: int,
     with_down: bool = True,
     interpret: bool = False,
+    planes=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused Pallas cost volume + forward (+ optionally downward) scans.
 
@@ -649,6 +813,10 @@ def cost_fwd_down(
     beyond the real image, INVALID_COST on out-of-range disparities).
     with_down=False is the 3-direction (cv2 SGBM_3WAY parity) mode, where
     the downward path fuses into the finalize kernel instead.
+
+    planes (from prefilter_planes, possibly halo-extended by the
+    row-sharded path) overrides the internal prefilter; left/right grays
+    then only provide the shape.
     """
     H, W = left_gray.shape
     r = block_size // 2
@@ -660,12 +828,9 @@ def cost_fwd_down(
     lw_dma = _ceil_to(XT + 2 * r, 128)
     rw_dma = _ceil_to(XT + 2 * r + dp - 1 + min_disparity, 128)
 
-    lpre = _cost.xsobel_prefilter(jnp.asarray(left_gray, jnp.float32),
-                                  pre_filter_cap)
-    rpre = _cost.xsobel_prefilter(jnp.asarray(right_gray, jnp.float32),
-                                  pre_filter_cap)
-    lo_l, hi_l = _cost._bt_bounds(lpre)
-    lo_r, hi_r = _cost._bt_bounds(rpre)
+    if planes is None:
+        planes = prefilter_planes(left_gray, right_gray, pre_filter_cap)
+    lpre, lo_l, hi_l, rpre, lo_r, hi_r = planes
     # fold the x2 integer scaling into the planes (BT is piecewise linear
     # with +-1 coefficients) — saves one multiply per colsum element
     lpre, rpre = lpre * 2.0, rpre * 2.0

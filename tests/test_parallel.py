@@ -152,6 +152,62 @@ class TestShardedPallasDepth:
         assert np.abs(dp - dx)[both & reg].max() < 1e-4
 
 
+class TestRowShardedSGM:
+    """SURVEY section 2.5 TP row: ONE frame's cost volume sharded over the
+    row axis, vertical carries relayed between shards with ppermute
+    (sgm_sharded.py). Bitwise equality with the single-device fused
+    path — no overlap-band approximation."""
+
+    @pytest.mark.parametrize("ndir,scene", [(3, "render"), (4, "render"),
+                                            (4, "noise")])
+    def test_rowsharded_matches_single_device(self, mesh, ndir, scene):
+        from recon3d_tpu.depth.sgm_pallas import sgm_disparity_pallas
+        from recon3d_tpu.depth.sgm_sharded import (
+            sgm_disparity_pallas_rowsharded)
+        from recon3d_tpu.parallel.mesh import make_mesh
+
+        H, W, D = 128, 128, 128  # H % (4 shards * 8) == 0
+        if scene == "noise":
+            # dense random texture exercises every carry path hard — a
+            # smooth rendered scene once masked a relay off-by-one that
+            # only noise exposed (reverse-sweep band indexing)
+            rng = np.random.RandomState(3)
+            gl = (rng.rand(H, W) * 255.0).astype(np.float32)
+            gr = np.roll(gl, -5, axis=1)
+        else:
+            cam = FakeStereoCamera(width=W, height=H, focal=90.0,
+                                   baseline=0.06)
+            gl, gr, _, _ = cam.render(0)
+        row_mesh = make_mesh(4, ("row",))
+        kw = dict(num_disparities=D, block_size=5, num_directions=ndir,
+                  interpret=True)
+
+        d1, v1 = sgm_disparity_pallas(
+            jnp.asarray(gl, jnp.float32), jnp.asarray(gr, jnp.float32),
+            **kw)
+        ds, vs = sgm_disparity_pallas_rowsharded(
+            jnp.asarray(gl, jnp.float32), jnp.asarray(gr, jnp.float32),
+            row_mesh, **kw)
+
+        # the output really is sharded over the row axis
+        starts = {s.index[0].start or 0 for s in ds.addressable_shards}
+        assert len(starts) == 4
+
+        np.testing.assert_array_equal(np.asarray(vs), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(ds), np.asarray(d1))
+
+    def test_rowsharded_rejects_misaligned_height(self, mesh):
+        from recon3d_tpu.depth.sgm_sharded import (
+            sgm_disparity_pallas_rowsharded)
+        from recon3d_tpu.parallel.mesh import make_mesh
+
+        row_mesh = make_mesh(4, ("row",))
+        img = jnp.zeros((100, 128), jnp.float32)  # 100 % 32 != 0
+        with pytest.raises(AssertionError, match="pad to"):
+            sgm_disparity_pallas_rowsharded(img, img, row_mesh,
+                                            interpret=True)
+
+
 class TestShardedRegistration:
     def test_batched_vmap_matches_sequential(self, cloud_pairs):
         srcs, tgts, truths = cloud_pairs
