@@ -357,7 +357,7 @@ def main():
     # replay, odometry+TSDF integrate per frame as ONE donated device
     # program (no per-frame host syncs). Measured after warm-up.
     streaming_fps = streaming_step_ms = streaming_put_ms = None
-    mesh_extract_ms = None
+    mesh_extract_ms = mesh_full_cached_ms = mesh_incr_ms = None
     try:
         from recon3d_tpu.camera.fake import FakeRGBDCamera
         from recon3d_tpu.config import ScannerConfig
@@ -415,11 +415,11 @@ def main():
             vol, st = sf.volume, sf._state
             # warm outside the timed window (the per-frame step may never
             # have compiled if every steady-state drain hit the batch path)
-            vol, st, wfc = sf._step(vol, st, dc, dd)
+            vol, st, wfc, _h = sf._step(vol, st, dc, dd)
             _ = float(jnp.sum(wfc))
             t0 = time.perf_counter()
             for _i in range(10):
-                vol, st, wfc = sf._step(vol, st, dc, dd)
+                vol, st, wfc, _h = sf._step(vol, st, dc, dd)
             _ = float(jnp.sum(wfc))
             streaming_step_ms = round((time.perf_counter() - t0) / 10 * 1e3,
                                       2)
@@ -434,6 +434,30 @@ def main():
             mesh = _marching.extract_triangle_mesh(vol)
             _ = float(jnp.sum(mesh.vertices))
             mesh_extract_ms = round((time.perf_counter() - t0) * 1e3, 1)
+
+            # incremental re-extract (live remesh loop): integrate ONE
+            # more frame into the fused volume, then re-mesh via the
+            # dirty-slab cache + device-resident hash weld — the number a
+            # live viewer pays per re-mesh after the first
+            from recon3d_tpu.fusion.incremental import IncrementalMesher
+            im = IncrementalMesher(resolution=vol.resolution)
+            m0 = im.mesh_device(vol)          # full build (all dirty)
+            _ = float(jnp.sum(m0.vertices))
+            t0 = time.perf_counter()
+            im.mark_all_dirty()
+            m0 = im.mesh_device(vol)
+            _ = float(jnp.sum(m0.vertices))
+            mesh_full_cached_ms = round((time.perf_counter() - t0) * 1e3, 1)
+            vol = im.integrate(vol, dd, s_intr,
+                               jnp.eye(4, dtype=jnp.float32))
+            m1 = im.mesh_device(vol)          # warm the partial program
+            _ = float(jnp.sum(m1.vertices))
+            vol = im.integrate(vol, dd, s_intr,
+                               jnp.eye(4, dtype=jnp.float32))
+            t0 = time.perf_counter()
+            m1 = im.mesh_device(vol)
+            _ = float(jnp.sum(m1.vertices))
+            mesh_incr_ms = round((time.perf_counter() - t0) * 1e3, 1)
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# streaming extra skipped: {type(e).__name__}", flush=True)
 
@@ -489,6 +513,8 @@ def main():
             "streaming_step_ms": streaming_step_ms,
             "streaming_put_ms": streaming_put_ms,
             "mesh_extract_256_ms": mesh_extract_ms,
+            "mesh_extract_full_device_ms": mesh_full_cached_ms,
+            "mesh_extract_incremental_ms": mesh_incr_ms,
         },
     }))
 

@@ -80,19 +80,21 @@ class IncrementalMesher:
         self._mesh_fn = None
 
     # ---- integrate with dirty tracking -------------------------------
-    def _build_integrate(self):
-        slab, n_slabs = self.slab, self.n_slabs
-        z0s = jnp.asarray(self._z0s)
+    def dirty_hits(self, changed_z: jax.Array) -> jax.Array:
+        """(R,) changed-z profile -> (n_slabs,) slab hits. Traceable —
+        StreamingFusion folds this into its fused step program. Slab i
+        reads voxel rows [z0, z0+slab], so it is hit iff any of those
+        rows changed."""
+        idx = (jnp.asarray(self._z0s)[:, None]
+               + jnp.arange(self.slab + 1)[None, :])
+        return jnp.any(changed_z[jnp.clip(idx, 0, self.R - 1)], axis=1)
 
+    def _build_integrate(self):
         def run(vol, depth, intr, extrinsic, color, dirty):
             vol, changed_z = _tsdf._integrate(
                 vol, depth, intr, extrinsic, color=color,
                 with_changed_z=True)
-            # slab i reads voxel rows [z0, z0+slab]: dirty iff any changed
-            idx = z0s[:, None] + jnp.arange(slab + 1)[None, :]
-            hit = jnp.any(changed_z[jnp.clip(idx, 0, vol.resolution - 1)],
-                          axis=1)
-            return vol, dirty | hit
+            return vol, dirty | self.dirty_hits(changed_z)
 
         return jax.jit(run, donate_argnums=(0,))
 

@@ -120,6 +120,13 @@ def create_from_point_cloud_poisson(
 
     R = 1 << depth
     pts, _, _ = pc.to_numpy()
+    if len(pts) == 0:
+        # an all-culled cloud (e.g. outlier removal on a tiny scan) must
+        # fail with a diagnosis, not a numpy zero-size reduction error
+        raise ValueError(
+            "Poisson reconstruction got an empty point cloud — every "
+            "point was invalid or culled upstream (check outlier/"
+            "downsample settings vs the scan size)")
     lo = pts.min(0)
     hi = pts.max(0)
     span = float((hi - lo).max()) * (1.0 + 2.0 * margin)

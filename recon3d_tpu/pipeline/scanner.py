@@ -14,6 +14,9 @@ import time
 from typing import Optional
 
 
+import jax
+import jax.numpy as jnp
+
 from recon3d_tpu.config import ScannerConfig
 from recon3d_tpu.mesh_reconstruction import MeshReconstruction
 from recon3d_tpu.mesh_saving import MeshSaving
@@ -46,6 +49,34 @@ class StreamingScanner:
         self.combined: Optional[PointCloud] = None
         self._thread: Optional[threading.Thread] = None
         self.frames = 0
+        # per-frame (good, fitness, rmse) device scalars: the accept/skip
+        # decision runs inside the jitted accumulate program, so the hot
+        # loop never forces a device round-trip (the round-2 review's
+        # weak #6: bool(result.is_good(...)) cost one RTT per frame on a
+        # tunneled chip). Synced once at stop()/summary time.
+        self._gate_log: list = []
+        self._accum = None
+
+    def _build_accum_step(self):
+        """One jit program: align the new cloud to the accumulated one,
+        evaluate the quality gate ON DEVICE (check6.py:65-76 fitness/rmse
+        thresholds), and select grown-vs-unchanged combined with
+        jnp.where — no host bool() on the per-frame path (main.py:34-52's
+        loop re-done without its per-frame syncs)."""
+        cap = self.config.processing.capacity
+        fitness_min = self.config.registration.fitness_min
+        rmse_max = self.config.registration.rmse_max
+        align = self.alignment
+
+        def step(combined, pc):
+            aligned, result = align.align_point_clouds(pc, combined)
+            good = result.is_good(fitness_min, rmse_max) & (pc.count() > 0)
+            grown = compact(concatenate(combined, aligned), cap)
+            new_combined = jax.tree.map(
+                lambda g, old: jnp.where(good, g, old), grown, combined)
+            return new_combined, good, result.fitness, result.inlier_rmse
+
+        return jax.jit(step, donate_argnums=(0,))
 
     def _scan_loop(self, max_frames: Optional[int]):
         """simple_scanning_loop (main.py:34-52)."""
@@ -64,7 +95,10 @@ class StreamingScanner:
             if max_frames is not None and self.frames >= max_frames:
                 break
             pc = self.capture.capture_point_cloud(self.camera)
-            if pc is None or int(pc.count()) == 0:
+            if pc is None:
+                # grab returned nothing (EOF on replay, warm-up on live);
+                # a captured-but-empty cloud is handled ON DEVICE by the
+                # accumulate gate, so the loop never syncs a count here
                 empty_streak += 1
                 now = time.monotonic()
                 empty_since = empty_since if empty_since is not None else now
@@ -82,17 +116,20 @@ class StreamingScanner:
             empty_since = None
             pc = compact(pc, min(pc.capacity, cap // 4))
             if self.combined is None:
+                # first frame seeds the map; an all-invalid first cloud is
+                # harmless (alignment vs an empty target fails its gate
+                # until a real frame lands) but costs one sync to detect,
+                # paid once per scan, not per frame
+                if int(pc.count()) == 0:
+                    continue
                 self.combined = compact(pc, cap)
             else:
-                aligned, result = self.alignment.align_point_clouds(pc, self.combined)
-                if not bool(result.is_good(self.config.registration.fitness_min,
-                                           self.config.registration.rmse_max)):
-                    self.logger.warning("frame %d failed quality gate "
-                                        "(fitness=%.3f rmse=%.4f), skipping",
-                                        self.frames, float(result.fitness),
-                                        float(result.inlier_rmse))
-                    continue
-                self.combined = compact(concatenate(self.combined, aligned), cap)
+                if self._accum is None:
+                    self._accum = self._build_accum_step()
+                self.combined, good, fit, rmse = self._accum(
+                    self.combined, pc)
+                # good/fit/rmse stay on device; stop() syncs them once
+                self._gate_log.append((good, fit, rmse))
             self.frames += 1
             fps.tick()
 
@@ -102,10 +139,29 @@ class StreamingScanner:
                                         args=(max_frames,), daemon=True)
         self._thread.start()
 
+    @property
+    def frames_rejected(self) -> int:
+        """Frames the on-device quality gate skipped (syncs on access)."""
+        import numpy as np
+
+        return int(sum(1 for g, _, _ in self._gate_log
+                       if not bool(np.asarray(g))))
+
     def stop(self) -> None:
         self.stop_event.set()
         if self._thread is not None:
             self._thread.join(timeout=30.0)
+        # deferred gate reporting: ONE sync per run, not one per frame
+        if self._gate_log:
+            import numpy as np
+
+            bad = [(i, float(np.asarray(f)), float(np.asarray(r)))
+                   for i, (g, f, r) in enumerate(self._gate_log)
+                   if not bool(np.asarray(g))]
+            for i, f, r in bad:
+                self.logger.warning("frame %d failed quality gate "
+                                    "(fitness=%.3f rmse=%.4f), skipped",
+                                    i + 1, f, r)
 
     def finalize(self, output_prefix: str = "captured_data_on_the_fly"):
         """The post-scan chain (main.py:64-91): save raw cloud, process,

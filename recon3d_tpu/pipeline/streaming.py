@@ -58,7 +58,8 @@ class StreamingFusion:
                  resolution: int = 256, volume_origin=None,
                  queue_size: int = 10, tracking: str = "keyframe",
                  keyframe_min_inliers: float = 0.85, profile: bool = False,
-                 depth_filters=None, consume_batch="auto"):
+                 depth_filters=None, consume_batch="auto",
+                 live_mesher: bool = False):
         self.camera = camera
         self.intrinsics = intrinsics
         self.config = config
@@ -120,6 +121,16 @@ class StreamingFusion:
             raise ValueError(f"unknown tracking mode {tracking!r}")
         self._promote_below = (2.0 if tracking == "frame_to_frame"
                                else keyframe_min_inliers)
+        # live_mesher: per-frame dirty-z-slab tracking rides the fused
+        # step program (one extra reduce over the integrate's update
+        # mask) and extract_mesh_live() re-meshes only dirty slabs into a
+        # device-resident mesh (fusion/incremental.py) — the live-remesh
+        # consumer check90-style viewers want at frame rate
+        self.mesher = None
+        if live_mesher:
+            from recon3d_tpu.fusion.incremental import IncrementalMesher
+
+            self.mesher = IncrementalMesher(resolution=resolution)
         # per-stage odometry/integrate timing; profile=True adds a device
         # sync per stage for exact numbers (costs a round-trip per frame —
         # without it the stages measure dispatch + host work only)
@@ -217,6 +228,7 @@ class StreamingFusion:
         depth_filters = self.depth_filters
         with_color = cfg.color
         depth_trunc = cfg.depth_trunc
+        mesher = self.mesher
         eye = jnp.eye(4, dtype=jnp.float32)
 
         def step(volume, state: _TrackState, color, depth):
@@ -244,11 +256,19 @@ class StreamingFusion:
                 last_inliers=res.inlier_fraction,
                 last_success=ok,
             )
-            new_volume = _tsdf._integrate(
-                volume, depth, intr, jnp.linalg.inv(wfc),
-                color=color if with_color else None,
-                depth_trunc=depth_trunc)
-            return new_volume, new_state, wfc
+            if mesher is None:
+                new_volume = _tsdf._integrate(
+                    volume, depth, intr, jnp.linalg.inv(wfc),
+                    color=color if with_color else None,
+                    depth_trunc=depth_trunc)
+                hits = jnp.zeros((0,), bool)
+            else:
+                new_volume, changed_z = _tsdf._integrate(
+                    volume, depth, intr, jnp.linalg.inv(wfc),
+                    color=color if with_color else None,
+                    depth_trunc=depth_trunc, with_changed_z=True)
+                hits = mesher.dirty_hits(changed_z)
+            return new_volume, new_state, wfc, hits
 
         return step
 
@@ -272,13 +292,13 @@ class StreamingFusion:
         def scan_step(carry, frame):
             volume, state = carry
             color, depth = frame
-            volume, state, wfc = inner(volume, state, color, depth)
-            return (volume, state), wfc
+            volume, state, wfc, hits = inner(volume, state, color, depth)
+            return (volume, state), (wfc, hits)
 
         def run(volume, state, colors, depths):
-            (volume, state), wfcs = jax.lax.scan(
+            (volume, state), (wfcs, hits) = jax.lax.scan(
                 scan_step, (volume, state), (colors, depths))
-            return volume, state, wfcs
+            return volume, state, wfcs, jnp.any(hits, axis=0)
 
         return jax.jit(run, donate_argnums=(0, 1))
 
@@ -304,10 +324,11 @@ class StreamingFusion:
                 depths = jnp.stack([jnp.asarray(d)
                                     for _, d in frames[i:i + B]])
                 with self.timer.stage("fuse_step"):
-                    self.volume, self._state, wfcs = batch(
+                    self.volume, self._state, wfcs, hits = batch(
                         self.volume, self._state, colors, depths)
                     if self._profile:
                         self.timer.sync(wfcs)
+                self._mark_dirty(hits)
                 self.trajectory.extend(list(wfcs))
                 self.frames_integrated += B
                 i += B
@@ -371,8 +392,9 @@ class StreamingFusion:
             if self._step is None:
                 self._step = self._build_step(cfg)
             with self.timer.stage("fuse_step"):
-                self.volume, self._state, wfc = self._step(
+                self.volume, self._state, wfc, hits = self._step(
                     self.volume, self._state, color, depth)
+                self._mark_dirty(hits)
                 if self._profile:
                     self.timer.sync(wfc)
                     if not bool(self._state.last_success):
@@ -417,11 +439,11 @@ class StreamingFusion:
             rel_init=jnp.copy(eye), key_color=jnp.copy(color),
             key_depth=jnp.copy(depth), failures=jnp.zeros((), jnp.int32),
             last_inliers=jnp.ones(()), last_success=jnp.asarray(True))
-        vol, state, wfc = self._step(vol, state, color, depth)
+        vol, state, wfc, _h = self._step(vol, state, color, depth)
         for B, batch in self._step_batches.items():
             colors = jnp.stack([color] * B)
             depths = jnp.stack([depth] * B)
-            vol, state, wfc = batch(vol, state, colors, depths)
+            vol, state, wfc, _h = batch(vol, state, colors, depths)
         jax.block_until_ready(wfc)
         del vol, state
         return self
@@ -463,10 +485,28 @@ class StreamingFusion:
             self.logger.warning("%d odometry failures over %d frames",
                                 nf, self.frames_integrated)
 
+    def _mark_dirty(self, hits):
+        """OR per-frame slab hits into the live mesher's dirty set —
+        device arrays in, device OR, no sync."""
+        if self.mesher is not None and hits.shape[0]:
+            self.mesher.cache = self.mesher.cache._replace(
+                dirty=self.mesher.cache.dirty | hits)
+
     def extract_mesh(self):
         mesh = _marching.extract_triangle_mesh(self.volume)
         mesh = mops.cleanup(mesh)
         return mops.compute_vertex_normals(mesh)
+
+    def extract_mesh_live(self):
+        """Device-resident incremental re-mesh: refreshes only the z-slabs
+        integrates have dirtied since the last call (requires
+        live_mesher=True). No host round-trips — a live viewer can call
+        this per displayed frame (check90.py's consumer-side extract /
+        visualizer live_remesh_loop, at incremental cost)."""
+        if self.mesher is None:
+            raise RuntimeError("construct StreamingFusion(live_mesher=True) "
+                               "for incremental extraction")
+        return self.mesher.mesh_device(self.volume)
 
     # ---- crash-safe checkpoint/resume: one compressed NPZ holds the
     # volume, the device-resident tracking state and the trajectory, so a

@@ -89,6 +89,47 @@ class TestIncrementalMesher:
         nd = int(np.asarray(im.cache.dirty).sum())
         assert 0 < nd < im.n_slabs
 
+    def test_streaming_live_mesher_equals_full_extract(self, tmp_path):
+        """StreamingFusion(live_mesher=True): dirty tracking rides the
+        fused odometry+integrate step; extract_mesh_live() must equal a
+        full extract_triangle_mesh of the same volume."""
+        from recon3d_tpu.camera.fake import SyntheticRGBDCamera
+        from recon3d_tpu.config import FusionConfig, ScannerConfig
+        from recon3d_tpu.pipeline.streaming import StreamingFusion
+
+        cam = SyntheticRGBDCamera(width=128, height=96, n_frames=5,
+                                  step=0.01)
+        cam.open()
+        cfg = ScannerConfig(
+            fusion=FusionConfig(voxel_size=0.015, sdf_trunc=0.06,
+                                grid_resolution=96, depth_trunc=2.5),
+            output_dir=str(tmp_path))
+        sf = StreamingFusion(None, _intr(), cfg, resolution=96,
+                             volume_origin=(-0.72, -0.72, 0.3),
+                             live_mesher=True)
+        fcfg = cfg.fusion
+        for _ in range(3):
+            c, d = cam.grab()
+            sf._fuse_one(jnp.asarray(c), jnp.asarray(d), fcfg)
+        m_live = sf.extract_mesh_live()
+        m_full = M.extract_triangle_mesh(sf.volume)
+        vl, tl = _canon_mesh(m_live)
+        vf, tf = _canon_mesh(m_full)
+        assert len(vl) == len(vf) > 0
+        np.testing.assert_allclose(vl, vf, atol=1e-6)
+        np.testing.assert_array_equal(tl, tf)
+        # and again after more frames (true incremental refresh)
+        for _ in range(2):
+            c, d = cam.grab()
+            sf._fuse_one(jnp.asarray(c), jnp.asarray(d), fcfg)
+        assert int(np.asarray(sf.mesher.cache.dirty).sum()) > 0
+        m_live = sf.extract_mesh_live()
+        m_full = M.extract_triangle_mesh(sf.volume)
+        vl, tl = _canon_mesh(m_live)
+        vf, tf = _canon_mesh(m_full)
+        np.testing.assert_allclose(vl, vf, atol=1e-6)
+        np.testing.assert_array_equal(tl, tf)
+
     def test_mesh_device_matches_host_mesh(self):
         """The device-resident weld (no host compaction) must carry the
         same geometry as the compacted mesh."""
