@@ -182,6 +182,7 @@ def main():
     _enable_compile_cache()
 
     from recon3d_tpu.depth import sgm_pallas
+    from recon3d_tpu.ops.warp import remap_two_pass_pallas
 
     frame, (jl, jr, jc, plan, jQ), scene = build_headline()
     W, H, D = scene["W"], scene["H"], scene["D"]
