@@ -182,6 +182,130 @@ def normals_pallas_core(pk, r2, G, C, interpret=False, gz=None):
     return _core_call(pk, r2, G, C, interpret, fuse_eig=True, gz=gz)
 
 
+def _mk_pack_kernel(G: int, C: int, LB: int, W: int, gz: int):
+    """Packed-table build kernel: see _bin_points_packed_pallas."""
+    GG = G * gz
+
+    def kernel(st_ref, nxt_ref, chan_ref, out_ref, flag_ref, win_s, sem):
+        x = pl.program_id(0)
+        b = pl.program_id(1)
+        # window of raw sorted points covering this block's cells: starts
+        # at the block's first cell's first sorted row, aligned down to a
+        # lane tile (the one-hot build keys on the DMA'd cell ids, so the
+        # alignment slack costs nothing)
+        st_row = st_ref[0, 0]                   # (1, LB) int32
+        nxt_row = nxt_ref[0, 0]                 # (1, LB) int32
+        w0 = st_row[0, 0]
+        w0a = pl.multiple_of((w0 // 128) * 128, 128)
+        cp = pltpu.make_async_copy(
+            chan_ref.at[:, pl.ds(w0a, W)], win_s, sem)
+        cp.start()
+        cp.wait()
+
+        cid0 = (x * GG + b * LB).astype(jnp.float32)
+        cidw = win_s[4:5, :]                    # (1, W) f32 cell ids
+        rankw = win_s[3:4, :]                   # (1, W) f32 in-cell rank
+        j_col = jax.lax.broadcasted_iota(
+            jnp.int32, (LB, 1), 0).astype(jnp.float32)
+        c_col = jax.lax.broadcasted_iota(
+            jnp.int32, (C, 1), 0).astype(jnp.float32)
+        # one-hot selectors: Ut[j, k] = point k belongs to block cell j,
+        # Vt[c, k] = point k has in-cell rank c (rank >= C never matches:
+        # the capacity cap). Products are EXACT (0.0/1.0), so the HIGHEST-
+        # precision dot below reproduces the f32 coordinates bitwise.
+        Ut = (cidw - cid0 == j_col).astype(jnp.float32)     # (LB, W)
+        Vt = (rankw == c_col).astype(jnp.float32)           # (C, W)
+        Tt = jnp.concatenate([win_s[0:1, :] * Vt,
+                              win_s[1:2, :] * Vt,
+                              win_s[2:3, :] * Vt], axis=0)  # (3C, W)
+        pkc = jax.lax.dot_general(
+            Tt, Ut, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)             # (3C, LB)
+        occ = (st_row + c_col.astype(jnp.int32)
+               < nxt_row).astype(jnp.float32)               # (C, LB)
+        out_ref[0] = jnp.concatenate([pkc, occ], axis=0)
+        # exact window-overflow accounting: the last NEEDED raw row of the
+        # block is max_j(st[j] + min(pop_j, C)); rows beyond w0a + W were
+        # not DMA'd, so their capped points are silently absent from pk
+        ne = jnp.max(jnp.minimum(nxt_row, st_row + C))
+        flag_ref[0, 0] = jnp.maximum(
+            ne - (w0a + W), 0).astype(jnp.float32).reshape(1, 1)
+
+    return kernel
+
+
+def _bin_points_packed_pallas(p, valid, radius, grid_size, cell_capacity,
+                              w_mult: float = 1.0, interpret: bool = False):
+    """Pallas twin of gk._bin_points_packed: same (pk, point_slot,
+    overflow) contract, built by an MXU one-hot placement instead of an
+    XLA per-slot gather.
+
+    The XLA route gathers each of the G*gz*G*C slots separately (~16 ns
+    per offset on a v5e: 549 ms of the 1.45 s 10M-point normals path).
+    Here cells are processed in LB-lane blocks: each block's points are
+    CONTIGUOUS in the cell-sorted order, so ONE sliced DMA pulls the
+    block's [x, y, z, rank, cellid] rows into VMEM and two one-hot
+    comparisons against the DMA'd rank/cellid channels place every point
+    into its (rank, cell) slot via an exact f32 matmul (HIGHEST precision
+    one-hot selection is bitwise). Measured 10M/G=128/C=16: 44 ms.
+
+    The window is static (W = w_mult * C * LB + slack), so blocks whose
+    RAW sorted span exceeds it (local density >> capacity, e.g. every
+    cell heavily over cap) silently lose the capped points beyond it;
+    that loss is counted exactly and folded into the returned overflow
+    fraction (as a raw-row upper bound). The XLA twin stays the oracle
+    for pathological densities."""
+    G, C = grid_size, cell_capacity
+    gz = gk._lane_stride(G)
+    GG = G * gz
+    n_cells = G * G * gz
+    N = p.shape[0]
+    LB = 256 if GG % 256 == 0 else 128
+    W = (int(w_mult * C * LB) + 255) // 128 * 128 + 128
+    sc, sp, order, start, ok, rank, overflow = gk._sort_cells(
+        p, valid, radius, G, C, gz=gz)
+    zero = jnp.zeros_like(sp[:, 0])
+    # 8 rows: DMA sublane slices must be 8-aligned
+    chans = jnp.stack([sp[:, 0], sp[:, 1], sp[:, 2],
+                       rank.astype(jnp.float32),
+                       sc.astype(jnp.float32),
+                       zero, zero, zero], axis=0)            # (8, N)
+    pad = jnp.zeros((8, W + 128), jnp.float32).at[4].set(float(n_cells))
+    chans = jnp.concatenate([chans, pad], axis=1)
+    NB = GG // LB
+    # trailing singleton dims keep the small blocks legal under Mosaic's
+    # last-two-dims rule (block dim == array dim)
+    st2 = start[:n_cells].reshape(G, NB, 1, LB)
+    nxt2 = start[1:n_cells + 1].reshape(G, NB, 1, LB)
+    pk, flags = pl.pallas_call(
+        _mk_pack_kernel(G, C, LB, W, gz),
+        grid=(G, NB),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, LB), lambda x, b: (x, b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, LB), lambda x, b: (x, b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4 * C, LB), lambda x, b: (x, 0, b)),
+            pl.BlockSpec((1, 1, 1, 1), lambda x, b: (x, b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, 4 * C, GG), jnp.float32),
+            jax.ShapeDtypeStruct((G, NB, 1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, W), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(st2, nxt2, chans)
+    point_slot = gk._point_slot_from_sorted(sc, order, ok, rank, C)
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    overflow = overflow + jnp.sum(flags) / n_valid
+    return pk, point_slot, overflow
+
+
 def packed_chan_readback(out, point_slot, G, C, gz, n_chan):
     """Per-point gather from a kernel's packed (G, n_chan*C, G*gz) output:
     returns a function chan(j) -> (N,) values of channel j for each point,
@@ -204,8 +328,24 @@ def packed_chan_readback(out, point_slot, G, C, gz, n_chan):
     return chan, has
 
 
+def _pick_pack(pack: str, interpret: bool):
+    """Resolve the packed-table builder: the Pallas one-hot pack on real
+    TPUs (12x the XLA slot gather at 10M points), the XLA gather
+    elsewhere. pack='pallas'/'xla' forces a side (tests force 'pallas'
+    with interpret=True to cover the kernel on CPU)."""
+    if pack == "auto":
+        use = not interpret and jax.default_backend() == "tpu"
+    else:
+        use = pack == "pallas"
+    if use:
+        return lambda p, v, r, G, C: _bin_points_packed_pallas(
+            p, v, r, G, C, interpret=interpret)
+    return gk._bin_points_packed
+
+
 def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
-                            cell_capacity=8, interpret=False):
+                            cell_capacity=8, interpret=False,
+                            pack="auto"):
     """Drop-in twin of gk.grid_pca_moments: (count (N,), mean (N, 3),
     cov6 (N, 6) [xx, yy, zz, xy, xz, yz]).
 
@@ -217,7 +357,7 @@ def grid_pca_moments_pallas(points, valid, radius, grid_size=64,
     p = jnp.asarray(points, jnp.float32)
     G, C = grid_size, cell_capacity
     gz = gk._lane_stride(G)
-    pk, point_slot, _ = gk._bin_points_packed(p, valid, radius, G, C)
+    pk, point_slot, _ = _pick_pack(pack, interpret)(p, valid, radius, G, C)
     out = moments_pallas_core(pk, radius * radius, G, C, interpret, gz=gz)
     # Read results back by gathering DIRECTLY from the kernel's packed
     # (G, 10C, GG) layout — no 100+ MB output transposes

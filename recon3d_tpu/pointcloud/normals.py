@@ -126,7 +126,7 @@ def _smallest_eigvec_cov6(cov6: jax.Array) -> jax.Array:
 
 
 def _grid_normals_pallas(points, valid, radius, grid_size, cell_capacity,
-                         interpret: bool = False):
+                         interpret: bool = False, pack: str = "auto"):
     """TPU large-N normals: packed binning straight into the fused
     moments+eigen-solve Pallas kernel (grid_knn_pallas.normals_pallas_core
     — covariance normalization and the channelwise eigen-solve run on
@@ -135,13 +135,14 @@ def _grid_normals_pallas(points, valid, radius, grid_size, cell_capacity,
     spent ~120 ms more at 1M points in binning gathers and the extra
     moment round-trips through HBM."""
     from recon3d_tpu.ops import grid_knn as gk
-    from recon3d_tpu.ops.grid_knn_pallas import (normals_pallas_core,
+    from recon3d_tpu.ops.grid_knn_pallas import (_pick_pack,
+                                                 normals_pallas_core,
                                                  packed_chan_readback)
 
     p = jnp.asarray(points, jnp.float32)
     G, C = grid_size, cell_capacity
     gz = gk._lane_stride(G)
-    pk, point_slot, _ = gk._bin_points_packed(p, valid, radius, G, C)
+    pk, point_slot, _ = _pick_pack(pack, interpret)(p, valid, radius, G, C)
     out = normals_pallas_core(pk, radius * radius, G, C, interpret, gz=gz)
     # packed (G, 4C, GG) rows [nx, ny, nz, cnt]; per-point readback of the
     # 3 normal channels via the shared packed-slot gather

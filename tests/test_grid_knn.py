@@ -161,6 +161,66 @@ class TestGridMomentsPallas:
                           c0[:, 0, 1], c0[:, 0, 2], c0[:, 1, 2]], -1)
         np.testing.assert_allclose(np.asarray(c6), want6, atol=1e-5)
 
+    def test_onehot_pack_bitwise_matches_xla_pack(self):
+        """The MXU one-hot pack kernel (_bin_points_packed_pallas) must be
+        BITWISE equal to the XLA per-slot gather it replaces (pk table,
+        point->slot map, overflow fraction), including invalid points and
+        padded lane strides. The one-hot selection matmul runs at HIGHEST
+        precision, which reproduces f32 coordinates exactly."""
+        import jax.numpy as jnp
+
+        from recon3d_tpu.ops import grid_knn as gk
+        from recon3d_tpu.ops.grid_knn_pallas import _bin_points_packed_pallas
+
+        rng = np.random.RandomState(13)
+        for n, G, C, r in [(5000, 16, 8, 0.05), (20000, 24, 16, 0.04)]:
+            pts = jnp.asarray(rng.rand(n, 3) * 0.8, jnp.float32)
+            valid = jnp.asarray(rng.rand(n) > 0.05)
+            pk0, ps0, ov0 = gk._bin_points_packed(pts, valid, r, G, C)
+            pk1, ps1, ov1 = _bin_points_packed_pallas(pts, valid, r, G, C,
+                                                      interpret=True)
+            assert bool(jnp.all(pk0 == pk1)), f"pk mismatch G={G} C={C}"
+            assert bool(jnp.all(ps0 == ps1))
+            assert float(ov0) == float(ov1)
+
+    def test_onehot_pack_reports_window_overflow(self):
+        """A block whose RAW sorted span exceeds the static DMA window
+        (local density far beyond capacity) must surface in the overflow
+        fraction instead of silently degrading."""
+        import jax.numpy as jnp
+
+        from recon3d_tpu.ops import grid_knn as gk
+        from recon3d_tpu.ops.grid_knn_pallas import _bin_points_packed_pallas
+
+        rng = np.random.RandomState(3)
+        # 40k points crammed into a couple of cells: raw span per block
+        # >> W = C*LB + slack with C=4
+        pts = jnp.asarray(rng.rand(40000, 3) * 0.01, jnp.float32)
+        valid = jnp.ones(40000, bool)
+        _, _, ov0 = gk._bin_points_packed(pts, valid, 0.05, 16, 4)
+        _, _, ov1 = _bin_points_packed_pallas(pts, valid, 0.05, 16, 4,
+                                              interpret=True)
+        assert float(ov1) > float(ov0)
+
+    def test_moments_with_pallas_pack_match_xla_pack(self):
+        """grid_pca_moments_pallas(pack='pallas') — the full production
+        composition on TPU — equals the XLA-pack route bitwise."""
+        import jax.numpy as jnp
+
+        from recon3d_tpu.ops.grid_knn_pallas import grid_pca_moments_pallas
+
+        rng = np.random.RandomState(17)
+        pts = jnp.asarray(rng.rand(4000, 3) * 0.6, jnp.float32)
+        valid = jnp.asarray(rng.rand(4000) > 0.03)
+        a = grid_pca_moments_pallas(pts, valid, 0.05, grid_size=16,
+                                    cell_capacity=8, interpret=True,
+                                    pack="xla")
+        b = grid_pca_moments_pallas(pts, valid, 0.05, grid_size=16,
+                                    cell_capacity=8, interpret=True,
+                                    pack="pallas")
+        for x, y in zip(a, b):
+            assert bool(jnp.all(x == y))
+
     def test_channelwise_eig_matches_matrix_eig(self):
         import jax.numpy as jnp
 
