@@ -182,46 +182,74 @@ def normals_pallas_core(pk, r2, G, C, interpret=False, gz=None):
     return _core_call(pk, r2, G, C, interpret, fuse_eig=True, gz=gz)
 
 
-def _mk_pack_kernel(G: int, C: int, LB: int, W: int, gz: int):
+def _mk_pack_kernel(G: int, C: int, LB: int, W: int, gz: int, NB: int):
     """Packed-table build kernel: see _bin_points_packed_pallas."""
     GG = G * gz
+    total = G * NB
 
-    def kernel(st_ref, nxt_ref, chan_ref, out_ref, flag_ref, win_s, sem):
+    def kernel(ws_ref, st_ref, nxt_ref, chan_ref, out_ref, flag_ref,
+               win_s, sems):
         x = pl.program_id(0)
         b = pl.program_id(1)
-        # window of raw sorted points covering this block's cells: starts
-        # at the block's first cell's first sorted row, aligned down to a
-        # lane tile (the one-hot build keys on the DMA'd cell ids, so the
-        # alignment slack costs nothing)
+        i = x * NB + b
+        cur = jax.lax.rem(i, 2)
+
+        def issue(step, slot):
+            """DMA the step's sorted-point window (the block's cells'
+            rows, aligned down to a lane tile — the one-hot build keys on
+            the DMA'd cell ids, so alignment slack costs nothing)."""
+            w0a = pl.multiple_of(ws_ref[step], 128)
+            pltpu.make_async_copy(
+                chan_ref.at[:, pl.ds(w0a, W)], win_s.at[slot],
+                sems.at[slot]).start()
+
+        # double-buffered windows: step 0 issues its own copy, every step
+        # prefetches the next block's window while computing on its own
+        @pl.when(i == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(i + 1 < total)
+        def _():
+            issue(i + 1, 1 - cur)
+
+        pltpu.make_async_copy(
+            chan_ref.at[:, pl.ds(0, W)], win_s.at[cur], sems.at[cur]).wait()
+
         st_row = st_ref[0, 0]                   # (1, LB) int32
         nxt_row = nxt_ref[0, 0]                 # (1, LB) int32
-        w0 = st_row[0, 0]
-        w0a = pl.multiple_of((w0 // 128) * 128, 128)
-        cp = pltpu.make_async_copy(
-            chan_ref.at[:, pl.ds(w0a, W)], win_s, sem)
-        cp.start()
-        cp.wait()
-
+        w0a = ws_ref[i]
         cid0 = (x * GG + b * LB).astype(jnp.float32)
-        cidw = win_s[4:5, :]                    # (1, W) f32 cell ids
-        rankw = win_s[3:4, :]                   # (1, W) f32 in-cell rank
+        cidw = win_s[cur, 4:5, :]               # (1, W) f32 cell ids
+        rankw = win_s[cur, 3:4, :]              # (1, W) f32 in-cell rank
         j_col = jax.lax.broadcasted_iota(
             jnp.int32, (LB, 1), 0).astype(jnp.float32)
         c_col = jax.lax.broadcasted_iota(
             jnp.int32, (C, 1), 0).astype(jnp.float32)
         # one-hot selectors: Ut[j, k] = point k belongs to block cell j,
         # Vt[c, k] = point k has in-cell rank c (rank >= C never matches:
-        # the capacity cap). Products are EXACT (0.0/1.0), so the HIGHEST-
-        # precision dot below reproduces the f32 coordinates bitwise.
-        Ut = (cidw - cid0 == j_col).astype(jnp.float32)     # (LB, W)
+        # the capacity cap). At most one point matches a (c, j) slot, so
+        # selection-by-matmul is EXACT given exact products: U is 0.0/1.0
+        # (exact in bf16) and T is split into three bf16 chunks covering
+        # the full f32 mantissa, so three 1-pass MXU products accumulated
+        # in f32 reproduce the coordinates BITWISE (same math as a
+        # HIGHEST-precision dot at half the passes).
+        Ut = (cidw - cid0 == j_col).astype(jnp.bfloat16)    # (LB, W)
         Vt = (rankw == c_col).astype(jnp.float32)           # (C, W)
-        Tt = jnp.concatenate([win_s[0:1, :] * Vt,
-                              win_s[1:2, :] * Vt,
-                              win_s[2:3, :] * Vt], axis=0)  # (3C, W)
-        pkc = jax.lax.dot_general(
-            Tt, Ut, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)             # (3C, LB)
+        Tt = jnp.concatenate([win_s[cur, 0:1, :] * Vt,
+                              win_s[cur, 1:2, :] * Vt,
+                              win_s[cur, 2:3, :] * Vt], axis=0)  # (3C, W)
+        t0 = Tt.astype(jnp.bfloat16)
+        r1 = Tt - t0.astype(jnp.float32)
+        t1 = r1.astype(jnp.bfloat16)
+        t2 = (r1 - t1.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+
+        def sel(t):
+            return jax.lax.dot_general(
+                t, Ut, dn, preferred_element_type=jnp.float32)
+
+        pkc = (sel(t0) + sel(t1)) + sel(t2)                 # (3C, LB)
         occ = (st_row + c_col.astype(jnp.int32)
                < nxt_row).astype(jnp.float32)               # (C, LB)
         out_ref[0] = jnp.concatenate([pkc, occ], axis=0)
@@ -274,14 +302,18 @@ def _bin_points_packed_pallas(p, valid, radius, grid_size, cell_capacity,
     pad = jnp.zeros((8, W + 128), jnp.float32).at[4].set(float(n_cells))
     chans = jnp.concatenate([chans, pad], axis=1)
     NB = GG // LB
+    # per-block DMA window starts (lane-tile aligned), SMEM-resident so
+    # step i can prefetch step i+1's window
+    ws = (start[0:n_cells:LB] // 128) * 128
     # trailing singleton dims keep the small blocks legal under Mosaic's
     # last-two-dims rule (block dim == array dim)
     st2 = start[:n_cells].reshape(G, NB, 1, LB)
     nxt2 = start[1:n_cells + 1].reshape(G, NB, 1, LB)
     pk, flags = pl.pallas_call(
-        _mk_pack_kernel(G, C, LB, W, gz),
+        _mk_pack_kernel(G, C, LB, W, gz, NB),
         grid=(G, NB),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, LB), lambda x, b: (x, b, 0, 0)),
             pl.BlockSpec((1, 1, 1, LB), lambda x, b: (x, b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -294,12 +326,12 @@ def _bin_points_packed_pallas(p, valid, radius, grid_size, cell_capacity,
             jax.ShapeDtypeStruct((G, 4 * C, GG), jnp.float32),
             jax.ShapeDtypeStruct((G, NB, 1, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((8, W), jnp.float32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, 8, W), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(st2, nxt2, chans)
+    )(ws, st2, nxt2, chans)
     point_slot = gk._point_slot_from_sorted(sc, order, ok, rank, C)
     n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
     overflow = overflow + jnp.sum(flags) / n_valid
@@ -309,10 +341,16 @@ def _bin_points_packed_pallas(p, valid, radius, grid_size, cell_capacity,
 def packed_chan_readback(out, point_slot, G, C, gz, n_chan):
     """Per-point gather from a kernel's packed (G, n_chan*C, G*gz) output:
     returns a function chan(j) -> (N,) values of channel j for each point,
-    plus the has-slot mask. Flat index for channel j from
-    slot = (x*GG + g)*C + c is ((x*n_chan + j)*C + c)*GG + g (GG = G*gz).
-    Shared by grid_pca_moments_pallas and normals._grid_normals_pallas so
-    the packed layout lives in exactly one place."""
+    plus the has-slot mask. Shared by grid_pca_moments_pallas and
+    normals._grid_normals_pallas so the packed layout lives in exactly
+    one place.
+
+    The channel-major kernel output strides a slot's channels C*GG apart,
+    so per-channel flat gathers pay one offset per (point, channel) — at
+    10M points that was 377 ms for 3 channels on a v5e. Transposing once
+    to slot-major (n_slots, n_chan) makes all channels of a point ONE
+    contiguous gather row: 123 ms, offsets independent of n_chan (the
+    transpose itself fuses into the gather's operand)."""
     GG = G * gz
     slot = jnp.maximum(point_slot, 0)
     has = point_slot >= 0
@@ -320,10 +358,12 @@ def packed_chan_readback(out, point_slot, G, C, gz, n_chan):
     c = slot % C
     x = cell // GG
     g = cell % GG
-    out_f = out.reshape(-1)
+    om = jnp.transpose(out.reshape(G, n_chan, C, GG),
+                       (0, 3, 2, 1)).reshape(G * GG * C, n_chan)
+    rows = om[(x * GG + g) * C + c]          # (N, n_chan)
 
     def chan(j):
-        return out_f[((x * n_chan + j) * C + c) * GG + g]
+        return rows[:, j]
 
     return chan, has
 

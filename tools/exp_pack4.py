@@ -63,9 +63,13 @@ def main():
     print(f"  point_slot equal: {bool(jnp.all(ps_x == ps_p))}", flush=True)
     print(f"  overflow {float(ov_x):.6f} vs {float(ov_p):.6f}", flush=True)
 
-    nf = jax.jit(lambda p, v: gkp.normals_pallas_core(
-        pk_p, r * r, G, C, gz=gk._lane_stride(G)))
-    timeit("moments+eig kernel (unchanged)", nf, p, valid)
+    gz = gk._lane_stride(G)
+    nf = jax.jit(lambda pk: gkp.normals_pallas_core(pk, r * r, G, C, gz=gz))
+    timeit("moments+eig kernel (unchanged)", nf, pk_p)
+
+    from recon3d_tpu.pointcloud.normals import _normals_only
+    ef = jax.jit(lambda p, v: _normals_only(p, v, r, 30, G, C))
+    timeit("estimate_normals end-to-end", ef, p, valid)
 
 
 if __name__ == "__main__":
