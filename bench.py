@@ -449,11 +449,20 @@ def main():
             m0 = im.mesh_device(vol)
             _ = float(jnp.sum(m0.vertices))
             mesh_full_cached_ms = round((time.perf_counter() - t0) * 1e3, 1)
-            vol = im.integrate(vol, dd, s_intr,
+            # a LOCALIZED update: keep only a narrow depth band of the
+            # frame (a close object / partial view), so the touched
+            # voxels land in a few z-slabs. A full-frustum frame dirties
+            # nearly every z-slab of a dense volume (the camera looks
+            # down +z), which degenerates incremental == full — the
+            # dirty-slab win is for updates that don't re-observe the
+            # whole scene, which is what a live remesh loop refreshes on.
+            zmid = float(jnp.median(jnp.where(dd > 0, dd, 1.5)))
+            dd_loc = jnp.where(jnp.abs(dd - zmid) < 0.05, dd, 0.0)
+            vol = im.integrate(vol, dd_loc, s_intr,
                                jnp.eye(4, dtype=jnp.float32))
             m1 = im.mesh_device(vol)          # warm the partial program
             _ = float(jnp.sum(m1.vertices))
-            vol = im.integrate(vol, dd, s_intr,
+            vol = im.integrate(vol, dd_loc, s_intr,
                                jnp.eye(4, dtype=jnp.float32))
             t0 = time.perf_counter()
             m1 = im.mesh_device(vol)

@@ -42,11 +42,28 @@ from recon3d_tpu.utils.types import CameraIntrinsics, TriangleMesh
 
 
 class MeshCache(NamedTuple):
-    """Persistent per-slab triangle cache (a pytree: flows through jit)."""
+    """Persistent per-slab triangle cache + slot-keyed weld table (a
+    pytree: flows through jit).
+
+    The weld table is the incremental half of the design: an
+    open-addressing hash over origin-quantized vertex keys whose slots
+    PERSIST across refreshes. A dirty slab subtracts its old corners'
+    contributions (tracked by `fslot`) and inserts its new ones, so a
+    refresh costs O(churn), not O(soup) — the full-soup weld was the
+    ~700 ms floor of every live re-mesh regardless of how few slabs
+    changed. Slots whose count returns to zero keep their key
+    (tombstones); a returning surface reuses them, so the table does not
+    grow under oscillating geometry."""
 
     tri: jax.Array    # (n_slabs, cap, 3, 3) oriented triangle positions
     val: jax.Array    # (n_slabs, cap) bool
+    fslot: jax.Array  # (n_slabs, cap, 3) int32 weld slot per corner
     dirty: jax.Array  # (n_slabs,) bool — slabs needing a refresh
+    key: jax.Array    # (S, 3) int32 quantized vertex key per slot
+    used: jax.Array   # (S,) bool slot claimed (persists at count 0)
+    vsum: jax.Array   # (S, 3) f32 sum of coincident corner copies
+    vcnt: jax.Array   # (S,) int32 copy count
+    ccol: jax.Array   # (S, 3) f32 last sampled vertex color
 
 
 class IncrementalMesher:
@@ -59,7 +76,8 @@ class IncrementalMesher:
     """
 
     def __init__(self, resolution: int, slab: int = 8,
-                 max_triangles: int = 1 << 19, weight_min: float = 1.0):
+                 max_triangles: int = 1 << 19, weight_min: float = 1.0,
+                 table_bits: Optional[int] = None, probes: int = 16):
         R = resolution
         self.R, self.slab, self.weight_min = R, slab, float(weight_min)
         self.n_slabs = (R - 1) // slab + (1 if (R - 1) % slab else 0)
@@ -70,10 +88,23 @@ class IncrementalMesher:
         self._z0s = np.minimum(np.arange(self.n_slabs) * slab,
                                R - 1 - slab).astype(np.int32)
         self._z_los = (np.arange(self.n_slabs) * slab).astype(np.int32)
+        # weld table ~4x the soup's triangle capacity: unique vertices
+        # run ~tris/2, so the load stays well under 0.25
+        if table_bits is None:
+            table_bits = max(14, (self.n_slabs * self.cap * 4 - 1)
+                             .bit_length())
+        self.table_bits, self.probes = table_bits, probes
+        S = 1 << table_bits
         self.cache = MeshCache(
             tri=jnp.zeros((self.n_slabs, self.cap, 3, 3), jnp.float32),
             val=jnp.zeros((self.n_slabs, self.cap), bool),
+            fslot=jnp.zeros((self.n_slabs, self.cap, 3), jnp.int32),
             dirty=jnp.ones((self.n_slabs,), bool),  # first update = full
+            key=jnp.zeros((S, 3), jnp.int32),
+            used=jnp.zeros((S,), bool),
+            vsum=jnp.zeros((S, 3), jnp.float32),
+            vcnt=jnp.zeros((S,), jnp.int32),
+            ccol=jnp.zeros((S, 3), jnp.float32),
         )
         self._integrate_fn = None
         self._update_fn = None
@@ -110,17 +141,39 @@ class IncrementalMesher:
         return vol
 
     def mark_all_dirty(self) -> None:
-        """Invalidate the whole cache (e.g. after loading a checkpoint)."""
+        """Invalidate the whole cache (e.g. after loading a checkpoint, or
+        to flush accumulated f32 add/subtract drift in the weld sums).
+        Resets the persistent weld table too — after a reload the cached
+        contributions no longer describe the table's state, so the next
+        update() must rebuild from scratch rather than subtract stale
+        sums."""
+        S = 1 << self.table_bits
         self.cache = self.cache._replace(
-            dirty=jnp.ones((self.n_slabs,), bool))
+            dirty=jnp.ones((self.n_slabs,), bool),
+            val=jnp.zeros((self.n_slabs, self.cap), bool),
+            key=jnp.zeros((S, 3), jnp.int32),
+            used=jnp.zeros((S,), bool),
+            vsum=jnp.zeros((S, 3), jnp.float32),
+            vcnt=jnp.zeros((S,), jnp.int32),
+            ccol=jnp.zeros((S, 3), jnp.float32))
 
     # ---- dirty-slab refresh ------------------------------------------
     def _build_update(self):
         slab, cap, wmin = self.slab, self.cap, self.weight_min
-        n_slabs = self.n_slabs
+        n_slabs, probes = self.n_slabs, self.probes
+        S = 1 << self.table_bits
+        N3 = 3 * cap
         z0s, z_los = jnp.asarray(self._z0s), jnp.asarray(self._z_los)
 
         def upd(vol, cache):
+            # origin-anchored quantization: keys are STABLE across
+            # refreshes (a soup-vmin recentering would shift rounding
+            # boundaries whenever the soup changes); marching's full weld
+            # uses the same anchor so groupings agree
+            quant = vol.voxel_size / 256.0
+            origin = vol.origin
+            color_fn = _marching.sample_volume_colors(vol)
+
             def body(i, c):
                 def refresh(c):
                     tri, sel, _ = _marching._slab_tris(
@@ -128,9 +181,80 @@ class IncrementalMesher:
                     # orientation is slab-local (reads only this slab's
                     # tsdf neighborhood) so caching it stays exact
                     tri = _marching._orient_by_gradient(vol, tri)
-                    return MeshCache(tri=c.tri.at[i].set(tri),
-                                     val=c.val.at[i].set(sel),
-                                     dirty=c.dirty)
+
+                    # remove the slab's OLD contributions (exactly what a
+                    # previous refresh added: val/fslot track them)
+                    old_m = jnp.repeat(c.val[i], 3)          # (3cap,)
+                    tgt_old = jnp.where(old_m, c.fslot[i].reshape(-1), S)
+                    old_corners = c.tri[i].reshape(-1, 3)
+                    vsum = c.vsum.at[tgt_old].add(
+                        jnp.where(old_m[:, None], -old_corners, 0.0),
+                        mode="drop")
+                    vcnt = c.vcnt.at[tgt_old].add(
+                        jnp.where(old_m, -1, 0), mode="drop")
+
+                    # insert the NEW corners: probe the persistent table
+                    # (match an existing key, or claim an empty slot via
+                    # scatter-min; same-key corners share a probe path)
+                    corners = tri.reshape(-1, 3)              # (3cap, 3)
+                    v3 = jnp.repeat(sel, 3)
+                    q = jnp.round((corners - origin) / quant
+                                  ).astype(jnp.int32)
+                    q = jnp.where(v3[:, None], q, -(1 << 30))
+                    h = ((q[:, 0] * jnp.int32(73856093))
+                         ^ (q[:, 1] * jnp.int32(19349663))
+                         ^ (q[:, 2] * jnp.int32(83492791))) & (S - 1)
+                    idx = jnp.arange(N3, dtype=jnp.int32)
+
+                    def round_body(st):
+                        p, used, key, slot_of, unresolved, cur = st
+                        cand = jnp.where(unresolved & ~used[cur], cur, S)
+                        claim = jnp.full((S,), N3, jnp.int32).at[cand].min(
+                            idx, mode="drop")
+                        won = claim < N3
+                        used = used | won
+                        key = jnp.where(won[:, None],
+                                        q[jnp.clip(claim, 0, N3 - 1)], key)
+                        match = (unresolved & used[cur]
+                                 & jnp.all(key[cur] == q, axis=1))
+                        slot_of = jnp.where(match, cur, slot_of)
+                        unresolved = unresolved & ~match
+                        cur = (cur + 2 * p + 1) & (S - 1)
+                        return p + 1, used, key, slot_of, unresolved, cur
+
+                    def round_cond(st):
+                        return (st[0] < probes) & jnp.any(st[4])
+
+                    _, used, key, slot_of, unresolved, _ = \
+                        jax.lax.while_loop(
+                            round_cond, round_body,
+                            (jnp.int32(0), c.used, c.key,
+                             jnp.zeros((N3,), jnp.int32), v3, h))
+
+                    # triangle-atomic: keep a triangle only if all three
+                    # corners landed slots, so removal stays symmetric
+                    tri_ok = sel & jnp.all(
+                        (~unresolved).reshape(cap, 3), axis=1)
+                    add_m = jnp.repeat(tri_ok, 3)
+                    tgt = jnp.where(add_m, slot_of, S)
+                    vsum = vsum.at[tgt].add(
+                        jnp.where(add_m[:, None], corners, 0.0),
+                        mode="drop")
+                    vcnt = vcnt.at[tgt].add(
+                        jnp.where(add_m, 1, 0), mode="drop")
+                    ccol = c.ccol
+                    if color_fn is not None:
+                        cols = color_fn(corners)
+                        ccol = ccol.at[tgt].set(
+                            jnp.where(add_m[:, None], cols, 0.0),
+                            mode="drop")
+                    return c._replace(
+                        tri=c.tri.at[i].set(tri),
+                        val=c.val.at[i].set(tri_ok),
+                        fslot=c.fslot.at[i].set(slot_of.reshape(cap, 3)),
+                        key=key, used=used, vsum=vsum, vcnt=vcnt,
+                        ccol=ccol)
+
                 return jax.lax.cond(c.dirty[i], refresh, lambda c: c, c)
 
             cache = jax.lax.fori_loop(0, n_slabs, body, cache)
@@ -149,17 +273,31 @@ class IncrementalMesher:
     # ---- weld ---------------------------------------------------------
     def _build_mesh(self):
         def run(vol, cache):
-            soup = cache.tri.reshape(-1, 3, 3)
-            tvalid = cache.val.reshape(-1)
-            return weld_mesh_device(
-                soup, tvalid, vol.voxel_size,
-                color_fn=_marching.sample_volume_colors(vol))
+            # the weld already lives in the persistent table: emitting
+            # the mesh is just sums/counts + the cached face slots
+            vvalid = cache.vcnt > 0
+            verts = cache.vsum / jnp.maximum(cache.vcnt, 1)[:, None].astype(
+                jnp.float32)
+            faces = cache.fslot.reshape(-1, 3)
+            nondeg = ((faces[:, 0] != faces[:, 1])
+                      & (faces[:, 1] != faces[:, 2])
+                      & (faces[:, 0] != faces[:, 2]))
+            colors = None if vol.color is None else jnp.where(
+                vvalid[:, None], cache.ccol, 0.0)
+            return TriangleMesh(
+                vertices=jnp.where(vvalid[:, None], verts, 0.0),
+                triangles=faces,
+                vertex_valid=vvalid,
+                triangle_valid=cache.val.reshape(-1) & nondeg,
+                vertex_colors=colors,
+            )
 
         return jax.jit(run)
 
     def mesh_device(self, vol: TSDFVolume) -> TriangleMesh:
-        """Refresh + weld, entirely on device (fixed-capacity mesh with
-        validity masks; no host round-trip)."""
+        """Refresh + incremental weld, entirely on device (fixed-capacity
+        mesh with validity masks; no host round-trip). Cost scales with
+        the dirty slabs' churn — a clean cache re-meshes in ~ms."""
         self.update(vol)
         if self._mesh_fn is None:
             self._mesh_fn = self._build_mesh()
@@ -168,12 +306,31 @@ class IncrementalMesher:
     def mesh(self, vol: TSDFVolume) -> TriangleMesh:
         """Refresh + weld + host compaction — extract_triangle_mesh's
         contract (mini1.py:357-360), for save/export paths."""
-        self.update(vol)
-        soup = self.cache.tri.reshape(-1, 3, 3)
-        tvalid = self.cache.val.reshape(-1)
-        return _marching.weld_mesh(
-            soup, tvalid, float(vol.voxel_size),
-            color_fn=_marching.sample_volume_colors(vol))
+        md = self.mesh_device(vol)
+        v = np.asarray(md.vertices)
+        vv = np.asarray(md.vertex_valid)
+        f = np.asarray(md.triangles)
+        tv = np.asarray(md.triangle_valid)
+        remap = np.full(len(v), -1, np.int32)
+        remap[vv] = np.arange(int(vv.sum()), dtype=np.int32)
+        verts = v[vv]
+        faces = remap[f[tv]]
+        colors = None if md.vertex_colors is None else jnp.asarray(
+            np.asarray(md.vertex_colors)[vv])
+        if len(verts) == 0:
+            return TriangleMesh(
+                vertices=jnp.zeros((1, 3), jnp.float32),
+                triangles=jnp.zeros((1, 3), jnp.int32),
+                vertex_valid=jnp.zeros((1,), bool),
+                triangle_valid=jnp.zeros((1,), bool),
+            )
+        return TriangleMesh(
+            vertices=jnp.asarray(verts),
+            triangles=jnp.asarray(faces),
+            vertex_valid=jnp.ones((len(verts),), bool),
+            triangle_valid=jnp.ones((len(faces),), bool),
+            vertex_colors=colors,
+        )
 
 
 def weld_mesh_device(soup, tri_valid, voxel_size, color_fn=None,

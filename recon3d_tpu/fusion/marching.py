@@ -213,23 +213,26 @@ def extract_triangle_soup(
 
 
 @jax.jit
-def _weld_device(verts, vvalid, quant):
+def _weld_device(verts, vvalid, quant, ref=None):
     """Group identical quantized vertices on-device.
 
     verts: (N, 3) f32, vvalid: (N,) bool, quant: scalar quantization step.
     Returns (vert_sum (N,3), vert_count (N,), inv (N,) group id per input
-    vertex, n_unique) — groups are keyed by round((verts - vmin)/quant);
+    vertex, n_unique) — groups are keyed by round((verts - ref)/quant);
     invalid vertices sort to a trailing sentinel group excluded from the
-    sums. Recentering on the soup's min valid vertex keeps the integer keys
-    small: without it, a far origin (|key| ~ 1e6 at small voxel_size) erodes
-    the f32 rounding margin so coincident-but-not-bitwise-equal vertices
-    from adjacent tets can weld inconsistently, and extreme origin/quant
-    ratios overflow int32 silently.
+    sums. `ref` (default: the soup's min valid vertex) recenters the
+    integer keys so they stay small: without it, a far origin (|key| ~1e6
+    at small voxel_size) erodes the f32 rounding margin so coincident-but-
+    not-bitwise-equal vertices from adjacent tets can weld inconsistently,
+    and extreme origin/quant ratios overflow int32 silently. Pass a FIXED
+    ref (e.g. the volume origin) when groupings must agree across welds of
+    different soups — the incremental mesher's persistent table does.
     """
-    vmin = jnp.min(jnp.where(vvalid[:, None], verts,
-                             jnp.float32(3.4e38)), axis=0)
-    vmin = jnp.where(jnp.any(vvalid), vmin, 0.0)
-    q = jnp.round((verts - vmin) / quant).astype(jnp.int32)
+    if ref is None:
+        ref = jnp.min(jnp.where(vvalid[:, None], verts,
+                                jnp.float32(3.4e38)), axis=0)
+        ref = jnp.where(jnp.any(vvalid), ref, 0.0)
+    q = jnp.round((verts - ref) / quant).astype(jnp.int32)
     big = jnp.iinfo(jnp.int32).max
     q = jnp.where(vvalid[:, None], q, big)
     perm = jnp.lexsort((q[:, 2], q[:, 1], q[:, 0]))
@@ -249,7 +252,7 @@ def _weld_device(verts, vvalid, quant):
 
 @partial(jax.jit, static_argnames=("table_bits", "probes"))
 def _weld_device_hash(verts, vvalid, quant, table_bits: int = 22,
-                      probes: int = 16):
+                      probes: int = 16, ref=None):
     """Sort-free weld: open-addressing hash table over quantized coords.
 
     Same contract as _weld_device — (vert_sum (N,3), vert_count (N,),
@@ -271,10 +274,11 @@ def _weld_device_hash(verts, vvalid, quant, table_bits: int = 22,
     """
     N = verts.shape[0]
     S = 1 << table_bits
-    vmin = jnp.min(jnp.where(vvalid[:, None], verts,
-                             jnp.float32(3.4e38)), axis=0)
-    vmin = jnp.where(jnp.any(vvalid), vmin, 0.0)
-    q = jnp.round((verts - vmin) / quant).astype(jnp.int32)
+    if ref is None:
+        ref = jnp.min(jnp.where(vvalid[:, None], verts,
+                                jnp.float32(3.4e38)), axis=0)
+        ref = jnp.where(jnp.any(vvalid), ref, 0.0)
+    q = jnp.round((verts - ref) / quant).astype(jnp.int32)
     q = jnp.where(vvalid[:, None], q, -1)
 
     # 3-coordinate mix (classic spatial-hash primes); int32 overflow wraps
@@ -283,11 +287,9 @@ def _weld_device_hash(verts, vvalid, quant, table_bits: int = 22,
          ^ (q[:, 2] * jnp.int32(83492791))) & (S - 1)
 
     idx = jnp.arange(N, dtype=jnp.int32)
-    owner = jnp.full((S,), N, jnp.int32)          # N = empty
-    slot_of = jnp.zeros((N,), jnp.int32)
-    unresolved = vvalid
-    cur = h
-    for p in range(probes):
+
+    def round_body(state):
+        p, owner, slot_of, unresolved, cur = state
         tgt = jnp.where(unresolved, cur, S)       # masked-out -> dropped
         claim = jnp.full((S,), N, jnp.int32).at[tgt].min(idx, mode="drop")
         owner = jnp.where(owner == N, claim, owner)
@@ -297,6 +299,18 @@ def _weld_device_hash(verts, vvalid, quant, table_bits: int = 22,
         slot_of = jnp.where(match, cur, slot_of)
         unresolved = unresolved & ~match
         cur = (cur + 2 * p + 1) & (S - 1)         # quadratic probing
+        return p + 1, owner, slot_of, unresolved, cur
+
+    def round_cond(state):
+        p, _owner, _slot_of, unresolved, _cur = state
+        # at load <0.4 nearly everything resolves in 2-3 rounds; a static
+        # unroll paid all `probes` full-N scatter rounds regardless
+        return (p < probes) & jnp.any(unresolved)
+
+    _, owner, slot_of, unresolved, _ = jax.lax.while_loop(
+        round_cond, round_body,
+        (jnp.int32(0), jnp.full((S,), N, jnp.int32),
+         jnp.zeros((N,), jnp.int32), vvalid, h))
 
     occupied = owner < N
     rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1   # (S,)
@@ -315,7 +329,8 @@ def _weld_device_hash(verts, vvalid, quant, table_bits: int = 22,
 
 
 def weld_mesh(tri_soup, tri_valid, voxel_size: float,
-              color_fn=None, method: str = "hash") -> TriangleMesh:
+              color_fn=None, method: str = "hash",
+              ref=None) -> TriangleMesh:
     """Triangle soup -> indexed TriangleMesh.
 
     Quantizes vertices to voxel_size/256 and merges duplicates — the indexed
@@ -333,7 +348,7 @@ def weld_mesh(tri_soup, tri_valid, voxel_size: float,
     weld = _weld_device_hash if method == "hash" else _weld_device
     vert_sum, vert_count, inv, n_unique = weld(
         soup.reshape(-1, 3), jnp.repeat(tvalid, 3),
-        jnp.float32(voxel_size / 256.0))
+        jnp.float32(voxel_size / 256.0), ref=ref)
     n_u = int(n_unique)
     if n_u == 0:
         return TriangleMesh(
@@ -410,5 +425,7 @@ def extract_triangle_mesh(vol: TSDFVolume, max_triangles: int = 1 << 19,
     soup, valid, _ = extract_triangle_soup(vol, max_triangles=max_triangles,
                                            weight_min=weight_min)
     soup = _orient_by_gradient(vol, soup)
+    # origin-anchored quantization so groupings agree with the incremental
+    # mesher's persistent weld table over the same volume
     return weld_mesh(soup, valid, float(vol.voxel_size),
-                     color_fn=sample_volume_colors(vol))
+                     color_fn=sample_volume_colors(vol), ref=vol.origin)
