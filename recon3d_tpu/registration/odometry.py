@@ -38,12 +38,19 @@ def _level_intr(fx, fy, cx, cy, level):
     return fx * s, fy * s, (cx + 0.5) * s - 0.5, (cy + 0.5) * s - 0.5
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(jax.jit, static_argnames=("iterations", "sweep_bound"))
 def _gn_level(I0, Z0, I1, Z1, fx, fy, cx, cy, T0, iterations: int,
-              depth_diff_max: float, sigma_i: float, sigma_z: float):
+              depth_diff_max: float, sigma_i: float, sigma_z: float,
+              sweep_bound: int = 0):
     H, W = I0.shape
     gx1, gy1 = im.central_gradients(I1)
     zx1, zy1 = im.central_gradients(Z1)
+    # sweep_bound > 0: warp all six target images per GN sweep with one
+    # gather-free plane sweep (ops.image.sweep_bilinear_stack) instead of
+    # 24 per-pixel gather taps — the gathers are ~95% of the level's
+    # device time on TPU. The stack is iteration-invariant; only the
+    # sample coordinates change per sweep.
+    tgt_stack = jnp.stack([I1, Z1, gx1, gy1, zx1, zy1]) if sweep_bound else None
 
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -59,12 +66,16 @@ def _gn_level(I0, Z0, I1, Z1, fx, fy, cx, cy, T0, iterations: int,
         vv = fy * Y / Z + cy
         inb = (uu >= 1) & (uu < W - 2) & (vv >= 1) & (vv < H - 2) & valid0 & (P[..., 2] > 1e-3)
 
-        I1w = im.bilinear_sample(I1, uu, vv)
-        Z1w = im.bilinear_sample(Z1, uu, vv)
-        gxw = im.bilinear_sample(gx1, uu, vv)
-        gyw = im.bilinear_sample(gy1, uu, vv)
-        zxw = im.bilinear_sample(zx1, uu, vv)
-        zyw = im.bilinear_sample(zy1, uu, vv)
+        if sweep_bound:
+            I1w, Z1w, gxw, gyw, zxw, zyw = im.sweep_bilinear_stack(
+                tgt_stack, uu, vv, sweep_bound, sweep_bound)
+        else:
+            I1w = im.bilinear_sample(I1, uu, vv)
+            Z1w = im.bilinear_sample(Z1, uu, vv)
+            gxw = im.bilinear_sample(gx1, uu, vv)
+            gyw = im.bilinear_sample(gy1, uu, vv)
+            zxw = im.bilinear_sample(zx1, uu, vv)
+            zyw = im.bilinear_sample(zy1, uu, vv)
 
         zvalid = (Z1w > 1e-3) & inb
         r_i = (I1w - I0) / sigma_i
@@ -121,11 +132,23 @@ def compute_rgbd_odometry(
     iterations: Tuple[int, ...] = (10, 10, 10),
     depth_diff_max: float = 0.07,
     min_inlier_fraction: float = 0.1,
+    warp: str = "auto",
+    sweep_bound: int = 48,
 ) -> OdometryResult:
     """Hybrid RGB-D odometry (check90.py:202-206 semantics).
 
     Returns target_from_source. Gray intensities are normalized to [0,1].
+
+    warp: "gather" uses per-pixel bilinear gathers (exact, the oracle
+    path, fast on CPU); "sweep" uses the gather-free bounded plane sweep
+    (~20x faster on TPU, pixels displaced more than sweep_bound px at the
+    finest level are treated as outliers); "auto" picks sweep on TPU.
+    The bound halves per pyramid level with the pixel displacement.
     """
+    if warp == "auto":
+        warp = "sweep" if jax.default_backend() == "tpu" else "gather"
+    if warp not in ("gather", "sweep"):
+        raise ValueError(f"unknown warp mode {warp!r}")
     I0 = im.rgb_to_gray(source.color) if source.color.ndim == 3 else jnp.asarray(source.color, jnp.float32)
     I1 = im.rgb_to_gray(target.color) if target.color.ndim == 3 else jnp.asarray(target.color, jnp.float32)
     mx = jnp.maximum(jnp.maximum(jnp.max(I0), jnp.max(I1)), 1.0)
@@ -151,6 +174,7 @@ def compute_rgbd_odometry(
             fx, fy, cx, cy, T,
             iterations=iterations[min(l, len(iterations) - 1)],
             depth_diff_max=depth_diff_max, sigma_i=0.1, sigma_z=0.05,
+            sweep_bound=max(4, sweep_bound >> l) if warp == "sweep" else 0,
         )
     success = frac >= min_inlier_fraction
     return OdometryResult(success=success, transformation=T,

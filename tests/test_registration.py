@@ -345,6 +345,32 @@ class TestOdometry:
         assert t_err < 0.005, f"translation error {t_err*1000:.2f} mm"
         assert r_err < 0.01
 
+    def test_sweep_warp_matches_ground_truth(self):
+        # the gather-free sweep warp (the TPU hot path,
+        # ops.image.sweep_bilinear_stack) recovers the same synthetic
+        # motion as the per-pixel gather oracle
+        from recon3d_tpu.camera.fake import SyntheticRGBDCamera
+        from recon3d_tpu.registration.odometry import compute_rgbd_odometry
+        from recon3d_tpu.utils.types import CameraIntrinsics, RGBDImage
+
+        cam = SyntheticRGBDCamera(width=320, height=240, fx=260.0, fy=260.0,
+                                  n_frames=4, step=0.02)
+        cam.open()
+        c0, d0 = cam.grab()
+        c1, d1 = cam.grab()
+        intr = CameraIntrinsics(fx=jnp.float32(260.0), fy=jnp.float32(260.0),
+                                cx=jnp.float32(159.5), cy=jnp.float32(119.5))
+        src = RGBDImage(color=jnp.asarray(c0), depth=jnp.asarray(d0))
+        tgt = RGBDImage(color=jnp.asarray(c1), depth=jnp.asarray(d1))
+        res = compute_rgbd_odometry(src, tgt, intr, warp="sweep")
+        assert bool(res.success)
+        T_true = cam.true_pose(1) @ np.linalg.inv(cam.true_pose(0))
+        T = np.asarray(res.transformation)
+        t_err = np.linalg.norm(T[:3, 3] - T_true[:3, 3])
+        r_err = np.abs(T[:3, :3] - T_true[:3, :3]).max()
+        assert t_err < 0.005, f"translation error {t_err*1000:.2f} mm"
+        assert r_err < 0.01
+
     def test_identity_for_same_frame(self):
         from recon3d_tpu.camera.fake import SyntheticRGBDCamera
         from recon3d_tpu.registration.odometry import compute_rgbd_odometry
