@@ -18,6 +18,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -26,14 +27,28 @@ from recon3d_tpu.camera.base import Camera
 
 
 class FakeRGBDCamera(Camera):
-    """Replay color/depth PNG pairs from a directory (mini1.py:188-212 pattern)."""
+    """Replay color/depth PNG pairs from a directory (mini1.py:188-212 pattern).
 
-    def __init__(self, directory: str, depth_scale: float = 1000.0, loop: bool = False):
+    With prefetch=True (the default) a background thread batch-decodes the
+    directory ahead of the consumer through the native thread-pool loader
+    (native/frameio.cc), so grab() never pays a serial PNG decode on the
+    caller's clock — the producer-side fix for streaming throughput (the
+    reference's live camera delivers frames at sensor rate; a replay camera
+    must not be slower than the sensor it stands in for). Decoded frames
+    stay cached, so looped replay (loop=True) serves from memory.
+    """
+
+    def __init__(self, directory: str, depth_scale: float = 1000.0,
+                 loop: bool = False, prefetch: bool = True):
         self.directory = directory
         self.depth_scale = depth_scale
         self.loop = loop
+        self.prefetch = prefetch
         self._pairs: List[Tuple[str, str]] = []
         self._i = 0
+        self._cache: Optional[List] = None
+        self._cv = threading.Condition()
+        self._decode_error: Optional[BaseException] = None
 
     def open(self) -> None:
         colors = sorted(glob.glob(os.path.join(self.directory, "color_*.png")))
@@ -46,6 +61,45 @@ class FakeRGBDCamera(Camera):
         if not self._pairs:
             raise FileNotFoundError(f"no color/depth pairs in {self.directory}")
         self._i = 0
+        if self.prefetch and self._cache is None:
+            self._cache = [None] * len(self._pairs)
+            threading.Thread(target=self._decode_ahead, daemon=True).start()
+
+    def _decode_ahead(self, chunk: int = 16) -> None:
+        """Background ring decoder: fills the frame cache in chunks through
+        the native batch loader (thread-pool inflate), falling back to
+        per-file decodes when the native library is unavailable."""
+        from recon3d_tpu.utils import io, native
+
+        try:
+            c0 = io.read_color(self._pairs[0][0])
+            d0 = io.read_depth(self._pairs[0][1], self.depth_scale)
+            with self._cv:
+                self._cache[0] = (c0, d0)
+                self._cv.notify_all()
+            h, w = c0.shape[:2]
+            n = len(self._pairs)
+            for s in range(1, n, chunk):
+                sub = self._pairs[s:s + chunk]
+                cp = [p[0] for p in sub]
+                dp = [p[1] for p in sub]
+                batch = native.load_rgbd_batch(cp, dp, w, h)
+                if batch is not None:
+                    colors, depths = batch
+                    dec = [(colors[k],
+                            depths[k].astype(np.float32) / self.depth_scale)
+                           for k in range(len(sub))]
+                else:
+                    dec = [(io.read_color(c), io.read_depth(d, self.depth_scale))
+                           for c, d in sub]
+                with self._cv:
+                    for k, fr in enumerate(dec):
+                        self._cache[s + k] = fr
+                    self._cv.notify_all()
+        except BaseException as e:  # surface decode failures to grab()
+            with self._cv:
+                self._decode_error = e
+                self._cv.notify_all()
 
     def __len__(self) -> int:
         return len(self._pairs)
@@ -57,8 +111,16 @@ class FakeRGBDCamera(Camera):
             if not self.loop:
                 return None
             self._i = 0
-        c, d = self._pairs[self._i]
+        idx = self._i
         self._i += 1
+        if self._cache is not None:
+            with self._cv:
+                while self._cache[idx] is None and self._decode_error is None:
+                    self._cv.wait(timeout=30.0)
+                if self._cache[idx] is not None:
+                    return self._cache[idx]
+                raise self._decode_error
+        c, d = self._pairs[idx]
         return io.read_color(c), io.read_depth(d, self.depth_scale)
 
 

@@ -88,6 +88,7 @@ def _integrate(
     depth_trunc: float = 3.0,
     weight_max: float = 64.0,
     with_changed_z: bool = False,
+    changed_weight_min: float = 1.0,
 ) -> TSDFVolume:
     """Fuse one depth (+color) frame.
 
@@ -97,9 +98,10 @@ def _integrate(
     behavior instead of freezing (Open3D bounds its weights the same way).
 
     with_changed_z=True additionally returns a (R,) bool z-profile of
-    MESH-RELEVANT change — tsdf value changed bitwise, or the weight
-    crossed the extraction threshold (weight_min=1.0) — which the
-    incremental mesher maps to dirty z-slabs. Free-space voxels re-hit by
+    MESH-RELEVANT change — tsdf or color changed bitwise, or the weight
+    crossed the extraction threshold (changed_weight_min, matching the
+    consumer's weight_min) — which the incremental mesher maps to dirty
+    z-slabs. Free-space voxels re-hit by
     later frames stay bitwise at +1.0 ((w*1+1)/(w+1) is exact in f32), so
     the profile tracks the visible surface shell, not the whole frustum.
     """
@@ -145,7 +147,12 @@ def _integrate(
         )
         out = dataclasses.replace(out, color=cnew)
     if with_changed_z:
-        changed = (tsdf != vol.tsdf) | ((w_tot >= 1.0) != (w_old >= 1.0))
+        wm = jnp.float32(changed_weight_min)
+        changed = (tsdf != vol.tsdf) | ((w_tot >= wm) != (w_old >= wm))
+        if vol.color is not None and color is not None:
+            # color-only updates (same depth re-observed, new color) leave
+            # tsdf bitwise identical but stale cached vertex colors
+            changed = changed | jnp.any(out.color != vol.color, axis=-1)
         return out, jnp.any(changed, axis=(0, 1))
     return out
 

@@ -250,8 +250,15 @@ def _mk_pack_kernel(G: int, C: int, LB: int, W: int, gz: int, NB: int):
                 t, Ut, dn, preferred_element_type=jnp.float32)
 
         pkc = (sel(t0) + sel(t1)) + sel(t2)                 # (3C, LB)
-        occ = (st_row + c_col.astype(jnp.int32)
-               < nxt_row).astype(jnp.float32)               # (C, LB)
+        # occupancy only for slots whose raw sorted row was actually
+        # DMA'd: rows beyond w0a + W never reached the one-hot, so their
+        # coordinates in pkc are 0.0 — marking them occupied would hand
+        # downstream moments a phantom point at the origin. Masked out,
+        # window overflow degrades to a cleanly-missing neighbor (and is
+        # still counted exactly by flag_ref below).
+        raw_row = st_row + c_col.astype(jnp.int32)           # (C, LB)
+        occ = ((raw_row < nxt_row)
+               & (raw_row < w0a + W)).astype(jnp.float32)    # (C, LB)
         out_ref[0] = jnp.concatenate([pkc, occ], axis=0)
         # exact window-overflow accounting: the last NEEDED raw row of the
         # block is max_j(st[j] + min(pop_j, C)); rows beyond w0a + W were

@@ -128,8 +128,14 @@ class StreamingScanner:
                     self._accum = self._build_accum_step()
                 self.combined, good, fit, rmse = self._accum(
                     self.combined, pc)
-                # good/fit/rmse stay on device; stop() syncs them once
-                self._gate_log.append((good, fit, rmse))
+                # good/fit/rmse stay on device; stop() syncs them once.
+                # self.frames is this frame's 0-based number (empty grabs
+                # never increment it), recorded so deferred warnings name
+                # the right frame even when empty first clouds were skipped
+                self._gate_log.append((self.frames, good, fit, rmse))
+            # max_frames counts processed attempts (accepted OR gate-
+            # rejected): a replay with a bad stretch still terminates, and
+            # the gate log reports exactly which attempts were skipped
             self.frames += 1
             fps.tick()
 
@@ -144,7 +150,7 @@ class StreamingScanner:
         """Frames the on-device quality gate skipped (syncs on access)."""
         import numpy as np
 
-        return int(sum(1 for g, _, _ in self._gate_log
+        return int(sum(1 for _, g, _, _ in self._gate_log
                        if not bool(np.asarray(g))))
 
     def stop(self) -> None:
@@ -155,13 +161,13 @@ class StreamingScanner:
         if self._gate_log:
             import numpy as np
 
-            bad = [(i, float(np.asarray(f)), float(np.asarray(r)))
-                   for i, (g, f, r) in enumerate(self._gate_log)
+            bad = [(n, float(np.asarray(f)), float(np.asarray(r)))
+                   for n, g, f, r in self._gate_log
                    if not bool(np.asarray(g))]
-            for i, f, r in bad:
+            for n, f, r in bad:
                 self.logger.warning("frame %d failed quality gate "
                                     "(fitness=%.3f rmse=%.4f), skipped",
-                                    i + 1, f, r)
+                                    n, f, r)
 
     def finalize(self, output_prefix: str = "captured_data_on_the_fly"):
         """The post-scan chain (main.py:64-91): save raw cloud, process,

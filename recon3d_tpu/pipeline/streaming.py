@@ -82,6 +82,7 @@ class StreamingFusion:
             sdf_trunc=cfg.sdf_trunc, origin=origin, with_color=cfg.color)
         self.trajectory: List = []  # (4,4) device arrays, no per-frame sync
         self.frames_integrated = 0
+        self.frames_captured = 0  # enqueued by the producer (incl. in-flight)
         self._host_failures = 0  # exceptions in the fusion loop
         self._state: Optional[_TrackState] = None
         self._step = None  # jitted on-device track+integrate, built lazily
@@ -146,11 +147,32 @@ class StreamingFusion:
 
         fps = FPSCounter(self.logger, "capture")
         queued = 0
+        # Producer-side H2D batching: grabs are grouped into the consumer's
+        # batch size B and shipped as ONE stacked (B,H,W,...) device_put per
+        # stream, so the per-transfer fixed cost (an RPC round-trip on
+        # tunneled backends — ~30 ms/frame measured unbatched, which alone
+        # caps the stream below 30 fps) is paid once per B frames. The
+        # first frame goes alone (the consumer's state-seeding path), and
+        # end-of-stream remainders flush unbatched.
+        B = max(1, self._consume_batch)
+        pend: List = []
+
+        def _enqueue(item, n):
+            nonlocal queued
+            try:
+                self.queue.put(item, timeout=0.5)
+                queued += n
+                self.frames_captured += n
+                for _ in range(n):
+                    fps.tick()
+            except queue.Full:
+                pass  # drop under backpressure (bounded queue)
+
+        first = True
         while not self.stop_event.is_set():
-            if self._max_frames is not None and queued >= self._max_frames:
-                # stop enqueueing at the cap; frames already queued still
+            if self._max_frames is not None and queued + len(pend) >= self._max_frames:
+                # stop grabbing at the cap; frames already queued still
                 # fuse (the consumer drains before honoring stop_event)
-                self.stop_event.set()
                 break
             try:
                 frame = self.camera.grab()
@@ -159,49 +181,96 @@ class StreamingFusion:
                 # this thread (check7.py retry/teardown pattern); frames
                 # already queued still get fused
                 self.logger.exception("camera grab failed; stopping stream")
-                self.stop_event.set()
                 break
             if frame is None:
-                self.stop_event.set()
                 break
-            # device-resident double buffering: device_put is asynchronous,
-            # so frame k+1's host->HBM transfer overlaps the fusion thread's
-            # odometry+integrate on frame k (SURVEY.md section 7 item 8; the
-            # reference's queue shipped host arrays and paid the copy on the
-            # consumer's critical path)
             color, depth = frame
-            dev = (jax.device_put(color), jax.device_put(depth))
-            try:
-                self.queue.put(dev, timeout=0.5)
-                queued += 1
-                fps.tick()
-            except queue.Full:
-                continue  # drop frame under backpressure (bounded queue)
+            if first or B == 1:
+                # device-resident double buffering: device_put is async, so
+                # this frame's host->HBM transfer overlaps the fusion
+                # thread's compute on earlier frames
+                _enqueue((jax.device_put(color), jax.device_put(depth)), 1)
+                first = False
+                continue
+            pend.append((color, depth))
+            if len(pend) == B:
+                dc = jax.device_put(np.stack([c for c, _ in pend]))
+                dd = jax.device_put(np.stack([d for _, d in pend]))
+                _enqueue((dc, dd), B)
+                pend = []
+        for color, depth in pend:  # ragged tail: per-frame items
+            _enqueue((jax.device_put(color), jax.device_put(depth)), 1)
+        self.stop_event.set()
 
     def _fusion_loop(self):
         fps = FPSCounter(self.logger, "fuse")
         cfg = self.config.fusion
         while not (self.stop_event.is_set() and self.queue.empty()):
             try:
-                frames = [self.queue.get(timeout=0.5)]
+                items = [self.queue.get(timeout=0.5)]
             except queue.Empty:
                 continue
             # drain whatever else is queued (up to the batch cap): a
-            # backlog fuses as ONE scanned device program instead of one
-            # dispatch per frame (_build_step_batch)
-            while len(frames) < self._consume_batch:
+            # backlog of per-frame items fuses as ONE scanned device
+            # program instead of one dispatch per frame (_build_step_batch);
+            # pre-stacked producer batches run the batch program directly
+            while len(items) < self._consume_batch:
                 try:
-                    frames.append(self.queue.get_nowait())
+                    items.append(self.queue.get_nowait())
                 except queue.Empty:
                     break
+            n = sum(self._item_len(it) for it in items)
             try:
-                self._fuse_frames(frames, cfg)
-                for _ in frames:
+                self._fuse_items(items, cfg)
+                for _ in range(n):
                     fps.tick()
             except Exception:  # keep the stream alive (check82-style)
                 self._host_failures += 1
                 self.logger.exception("fusion step failed; %d frame(s) "
-                                      "dropped", len(frames))
+                                      "dropped", n)
+
+    @staticmethod
+    def _item_len(item) -> int:
+        """A queue item is one frame (color ndim 3) or a stacked batch."""
+        return item[0].shape[0] if item[0].ndim == 4 else 1
+
+    def _fuse_items(self, items, cfg):
+        """Fuse a drained mix of per-frame items and pre-stacked producer
+        batches: batches whose size has a compiled program run it directly
+        on the already-device-resident stack; per-frame items group through
+        _fuse_frames (which stacks on device) or the per-frame step."""
+        singles: List = []
+        for item in items:
+            if item[0].ndim != 4:
+                singles.append(item)
+                continue
+            # flush accumulated singles first to preserve frame order
+            if singles:
+                self._fuse_frames(singles, cfg)
+                singles = []
+            c, d = item
+            B = c.shape[0]
+            if self._state is None:
+                # batch arrived before any state-seeding frame (producer
+                # normally sends frame 0 unbatched): seed from slice 0
+                self._fuse_one(c[0], d[0], cfg)
+                c, d = c[1:], d[1:]
+                B -= 1
+                if B == 0:
+                    continue
+            prog = self._step_batches.get(B)
+            if prog is None:
+                prog = self._step_batches[B] = self._build_step_batch(cfg)
+            with self.timer.stage("fuse_step"):
+                self.volume, self._state, wfcs, hits = prog(
+                    self.volume, self._state, c, d)
+                if self._profile:
+                    self.timer.sync(wfcs)
+            self._mark_dirty(hits)
+            self.trajectory.extend(list(wfcs))
+            self.frames_integrated += B
+        if singles:
+            self._fuse_frames(singles, cfg)
 
     # ---- attribute compatibility: these sync on ACCESS (end-of-run /
     # tests), never on the per-frame consumer path
@@ -266,7 +335,8 @@ class StreamingFusion:
                 new_volume, changed_z = _tsdf._integrate(
                     volume, depth, intr, jnp.linalg.inv(wfc),
                     color=color if with_color else None,
-                    depth_trunc=depth_trunc, with_changed_z=True)
+                    depth_trunc=depth_trunc, with_changed_z=True,
+                    changed_weight_min=mesher.weight_min)
                 hits = mesher.dirty_hits(changed_z)
             return new_volume, new_state, wfc, hits
 
