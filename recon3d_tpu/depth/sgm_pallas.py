@@ -271,6 +271,93 @@ def _mk_vscan_io_kernel(bh: int, p1: float, p2: float, reverse: bool,
     return kernel
 
 
+def _mk_diag_io_kernel(fh: int, p1: float, p2: float, reverse: bool,
+                       nb: int, h_last: int):
+    """Both diagonal SGM paths of one vertical direction with explicit
+    carry-plane io — the row-sharded relay's diagonal building block
+    (8-direction mode). Carry semantics mirror _mk_vscan_io_kernel
+    (adopt carry_in at the shard-boundary real row, snapshot the carry
+    after the last real row for the relay), with the (2, W, D) carry
+    column-shifted before every row step exactly like
+    _mk_diag_down_kernel / the finalize sweep's upward pair: plane 0
+    receives from x-1 (down-right / up-right), plane 1 from x+1."""
+    band_of = h_last // fh
+    row_in_band = h_last % fh
+
+    def kernel(cin_ref, cost_ref, acc_ref, out_ref, cout_ref,
+               carry_ref, snap_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            carry_ref[:] = cin_ref[:] if not reverse \
+                else jnp.zeros_like(carry_ref)
+            snap_ref[:] = jnp.zeros_like(snap_ref)
+
+        ca = carry_ref[0]
+        cb = carry_ref[1]
+        at_band = ((nb - 1 - b) if reverse else b) == band_of
+        order = range(fh - 1, -1, -1) if reverse else range(fh)
+        for y in order:
+            if reverse and y == row_in_band:
+                # entering the bottom shard-boundary real row from the
+                # padding: adopt the next shard's relayed carry planes
+                ca = jnp.where(at_band, cin_ref[0], ca)
+                cb = jnp.where(at_band, cin_ref[1], cb)
+            c = _u16f(cost_ref[y])
+            ca = _path_step(_shift_cols(ca, +1), c, p1, p2)
+            cb = _path_step(_shift_cols(cb, -1), c, p1, p2)
+            out_ref[y] = acc_ref[y] + ca + cb
+            if not reverse and y == row_in_band:
+                @pl.when(at_band)
+                def _():
+                    snap_ref[0] = ca  # noqa: B023 — bound per iteration
+                    snap_ref[1] = cb  # noqa: B023
+
+        carry_ref[0] = ca
+        carry_ref[1] = cb
+        cout_ref[:] = jnp.stack([ca, cb], axis=0) if reverse \
+            else snap_ref[:]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("p1", "p2", "reverse", "h_real",
+                                   "interpret"))
+def diag_carry(cost_u16: jax.Array, acc: jax.Array, carry_in: jax.Array,
+               p1: float, p2: float, reverse: bool, h_real: int,
+               interpret: bool = False):
+    """One shard's diagonal path pair (down-right+down-left when
+    reverse=False, up-right+up-left when reverse=True) with relayed
+    (2, W, D) carry planes — vscan_carry's twin for the four diagonal
+    paths of 8-direction mode. Sweeps full-width FH-row bands (the same
+    layout as _mk_diag_down_kernel); p1/p2 are UNSCALED (cv2 units)."""
+    HP, WP, DP = cost_u16.shape
+    FH = 8
+    nb = HP // FH
+    bmap = (lambda b: (nb - 1 - b, 0, 0)) if reverse \
+        else (lambda b: (b, 0, 0))
+    dband = pl.BlockSpec((FH, WP, DP), bmap, memory_space=pltpu.VMEM)
+    cblock = pl.BlockSpec((2, WP, DP), lambda b: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out, carry_out = pl.pallas_call(
+        _mk_diag_io_kernel(FH, float(p1) * 2.0, float(p2) * 2.0,
+                           reverse, nb, h_real - 1),
+        grid=(nb,),
+        in_specs=[cblock, dband, dband],
+        out_specs=(dband, cblock),
+        out_shape=(jax.ShapeDtypeStruct((HP, WP, DP), jnp.float32),
+                   jax.ShapeDtypeStruct((2, WP, DP), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((2, WP, DP), jnp.float32),
+                        pltpu.VMEM((2, WP, DP), jnp.float32)],
+        input_output_aliases={2: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(carry_in, cost_u16, acc)
+    return out, carry_out
+
+
 @partial(jax.jit, static_argnames=("p1", "p2", "reverse", "h_real",
                                    "interpret"))
 def vscan_carry(cost_u16: jax.Array, acc: jax.Array, carry_in: jax.Array,

@@ -21,10 +21,12 @@ logic). sgm_disparity_pallas_rowsharded == sgm_disparity_pallas BITWISE
 the cost/finalize kernels (the fused single-chip path remains the 1-chip
 fast path; this entry is for scaling H beyond one chip's HBM/VMEM).
 
-Supports num_directions 3 (cv2 SGBM_3WAY: one downward relay) and 4
-(HH4: down + up relays). The 8-direction mode's four diagonal carries
-would relay the same way (column-shifted planes) and remain single-chip
-for now.
+Supports num_directions 3 (cv2 SGBM_3WAY: one downward relay), 4 (HH4:
+down + up relays) and 8 (MODE_HH: the four diagonal paths relay their
+column-shifted carry PAIRS the same way — sgm_pallas.diag_carry). Heights
+that do not split into n shards of 8-row-aligned rows are padded
+internally with edge-replicated rows (1080 -> 1088 on a 2/4/8-way mesh)
+and stay bitwise-exact on the real rows.
 
 Reference: the per-frame cv2.StereoSGBM.compute this scales
 (/root/reference/Calib_depth/depth4.py:255).
@@ -95,25 +97,42 @@ def sgm_disparity_pallas_rowsharded(
 ) -> Tuple[jax.Array, jax.Array]:
     """Row-sharded twin of sgm_disparity_pallas (bitwise-equal output).
 
-    Requires H % (n_shards * 8) == 0 so every shard owns the same number
-    of 8-row-aligned rows (1080 splits 3/5/9/15/27/45-way; pad the image
-    otherwise). The speckle filter runs replicated on the gathered
-    disparity, exactly like the single-device tail.
+    Heights that do not split into n shards of 8-row-aligned rows are
+    padded internally (edge-replicated rows, the full-image kernel's
+    padding convention; e.g. 1080 -> 1088 for a 2/4/8-way mesh): the
+    last shard treats its pad rows as dead — its prefiltered planes
+    replicate the last real row so real-row box windows match the
+    full-image kernel, and the vertical/diagonal relays snapshot/adopt
+    carries at the real image bottom, so the output on the real H rows
+    stays BITWISE equal to the single-device path. The speckle filter
+    runs replicated on the gathered disparity, exactly like the
+    single-device tail.
     """
     from recon3d_tpu.depth import sgm as _sgm
 
-    assert num_directions in (3, 4), \
-        "row-sharded path supports 3/4 directions (8 is single-chip)"
+    assert num_directions in (3, 4, 8), num_directions
+    assert block_size // 2 <= _HALO, (
+        f"block_size={block_size} needs {block_size // 2} prefiltered halo "
+        f"rows per side but only {_HALO} are exchanged — the bitwise-"
+        f"equality contract would silently break")
     if p1 is None:
         p1 = 8.0 * block_size * block_size
     if p2 is None:
         p2 = 32.0 * block_size * block_size
     n = mesh.shape[axis_name]
     H, W = left_gray.shape
-    assert H % (n * 8) == 0, (
-        f"H={H} must divide into {n} shards of 8-row-aligned rows; "
-        f"pad to {-(-H // (n * 8)) * n * 8}")
-    Hl = H // n
+    Hpad = -(-H // (n * 8)) * (n * 8)
+    pad = Hpad - H
+    Hl = Hpad // n
+    # the last shard's real rows must cover the halo its neighbor pulls
+    assert Hl - pad >= _HALO, (
+        f"H={H} leaves the last of {n} shards only {Hl - pad} real rows "
+        f"(< {_HALO}-row halo); use fewer shards")
+    if pad:
+        left_gray = jnp.pad(jnp.asarray(left_gray, jnp.float32),
+                            ((0, pad), (0, 0)), mode="edge")
+        right_gray = jnp.pad(jnp.asarray(right_gray, jnp.float32),
+                             ((0, pad), (0, 0)), mode="edge")
     HLP = sp._ceil_to(Hl, 64)
     WP, XT = sp._pick_xtile(W)
     DP = sp._ceil_to(num_disparities, 128)
@@ -154,6 +173,19 @@ def sgm_disparity_pallas_rowsharded(
         planes = sp.prefilter_planes(ext1_l, ext1_r, pre_filter_cap)
         planes = tuple(p[1:-1] for p in planes)  # exact local plane rows
 
+        if pad:
+            # rows this shard holds beyond the real image replicate the
+            # last REAL plane row: prefilter(edge-padded raw) at a pad row
+            # mixes raw rows (H-1, H-1, H-1) while the full-image kernel's
+            # convention replicates the PREFILTERED row H-1 (raw rows
+            # H-2, H-1, H) — overwrite so real-row box windows and the
+            # bottom halo fill match the single-device path bitwise
+            gr = my * Hl + jnp.arange(Hl)
+            last = jnp.clip(H - 1 - my * Hl, 0, Hl - 1)
+            planes = tuple(
+                jnp.where((gr >= H)[:, None], p[last][None, :], p)
+                for p in planes)
+
         # 2. exchange _HALO rows of the PREFILTERED planes
         ext_planes = tuple(
             with_halos(p, _HALO, rep(p[:1], _HALO), rep(p[-1:], _HALO))
@@ -184,22 +216,32 @@ def sgm_disparity_pallas_rowsharded(
         #    keeps round k's result, and its boundary carry plane hops to
         #    the neighbor. n rounds of H/n rows = one full-height scan of
         #    wall-clock for the vertical path; everything else is 1/n.
-        def relay(S_acc, reverse):
+        #    With internal padding the last shard's round uses its REAL
+        #    row count, so the relayed carry is snapshotted/adopted at
+        #    the true image bottom (h_real is static per round — one
+        #    program per distinct count, uniform across shards).
+        def relay(S_acc, reverse, scan, carry_shape):
             final = S_acc
-            carry = jnp.zeros((WP, DP), jnp.float32)
+            carry = jnp.zeros(carry_shape, jnp.float32)
             order = range(n - 1, -1, -1) if reverse else range(n)
             perm = bwd_perm if reverse else fwd_perm
             for k in order:
-                Sk, cout = sp.vscan_carry(cost, S_acc, carry, p1, p2,
-                                          reverse, Hl, interpret=interpret)
+                h_k = Hl if k < n - 1 else Hl - pad
+                Sk, cout = scan(cost, S_acc, carry, p1, p2,
+                                reverse, h_k, interpret=interpret)
                 final = jnp.where(my == k, Sk, final)
                 if n > 1:
                     carry = jax.lax.ppermute(cout, axis_name, perm)
             return final
 
-        S = relay(v3, reverse=False)            # downward path
-        if num_directions == 4:
-            S = relay(S, reverse=True)          # upward path (HH4)
+        S = relay(v3, False, sp.vscan_carry, (WP, DP))   # downward path
+        if num_directions >= 4:
+            S = relay(S, True, sp.vscan_carry, (WP, DP))  # upward (HH4)
+        if num_directions == 8:
+            # the four diagonal paths (MODE_HH): column-shifted carry
+            # PAIRS relay exactly like the vertical planes
+            S = relay(S, False, sp.diag_carry, (2, WP, DP))
+            S = relay(S, True, sp.diag_carry, (2, WP, DP))
 
         # 7. WTA/subpixel/uniqueness/LR finalize (row-local)
         disp_l, valid_l = sp.wta_finalize(
@@ -218,6 +260,8 @@ def sgm_disparity_pallas_rowsharded(
     )
     disp_raw, valid = sharded(jnp.asarray(left_gray, jnp.float32),
                               jnp.asarray(right_gray, jnp.float32))
+    if pad:
+        disp_raw, valid = disp_raw[:H], valid[:H]
 
     # ---- replicated tail: identical to sgm_disparity_pallas
     if min_disparity:

@@ -196,14 +196,74 @@ class TestRowShardedSGM:
         np.testing.assert_array_equal(np.asarray(vs), np.asarray(v1))
         np.testing.assert_array_equal(np.asarray(ds), np.asarray(d1))
 
-    def test_rowsharded_rejects_misaligned_height(self, mesh):
+    @pytest.mark.parametrize("ndir,H", [
+        (4, 104),    # misaligned height: pads 104 -> 128 (24 pad rows)
+        (8, 128),    # full MODE_HH direction set: diagonal carry relays
+        (8, 104),    # diagonals + internal padding together
+    ])
+    def test_rowsharded_pad_and_diag(self, mesh, ndir, H):
+        """Auto-padded heights and 8-direction mode stay bitwise-equal to
+        the single-device path on the real rows (the round-3 scope cuts:
+        H had to pre-divide n*8, sgm8 was single-chip only)."""
+        from recon3d_tpu.depth.sgm_pallas import sgm_disparity_pallas
+        from recon3d_tpu.depth.sgm_sharded import (
+            sgm_disparity_pallas_rowsharded)
+        from recon3d_tpu.parallel.mesh import make_mesh
+
+        W, D = 128, 128
+        rng = np.random.RandomState(7)
+        gl = (rng.rand(H, W) * 255.0).astype(np.float32)
+        gr = np.roll(gl, -5, axis=1)
+        row_mesh = make_mesh(4, ("row",))
+        kw = dict(num_disparities=D, block_size=5, num_directions=ndir,
+                  interpret=True)
+
+        d1, v1 = sgm_disparity_pallas(
+            jnp.asarray(gl, jnp.float32), jnp.asarray(gr, jnp.float32),
+            **kw)
+        ds, vs = sgm_disparity_pallas_rowsharded(
+            jnp.asarray(gl, jnp.float32), jnp.asarray(gr, jnp.float32),
+            row_mesh, **kw)
+
+        np.testing.assert_array_equal(np.asarray(vs), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(ds), np.asarray(d1))
+
+    def test_rowsharded_production_height(self, mesh):
+        """The shipped 1080p frame height on a power-of-two mesh: 1080
+        pads internally to 1088 (the round-3 path asserted instead).
+        Narrow width/small D keep the interpret-mode cost bounded; the
+        height/pad geometry is exactly production's."""
+        from recon3d_tpu.depth.sgm_pallas import sgm_disparity_pallas
+        from recon3d_tpu.depth.sgm_sharded import (
+            sgm_disparity_pallas_rowsharded)
+        from recon3d_tpu.parallel.mesh import make_mesh
+
+        H, W, D = 1080, 128, 128
+        cam = FakeStereoCamera(width=W, height=H, focal=90.0, baseline=0.06)
+        gl, gr, _, _ = cam.render(0)
+        row_mesh = make_mesh(4, ("row",))
+        kw = dict(num_disparities=D, block_size=5, num_directions=4,
+                  interpret=True)
+
+        d1, v1 = sgm_disparity_pallas(
+            jnp.asarray(gl, jnp.float32), jnp.asarray(gr, jnp.float32),
+            **kw)
+        ds, vs = sgm_disparity_pallas_rowsharded(
+            jnp.asarray(gl, jnp.float32), jnp.asarray(gr, jnp.float32),
+            row_mesh, **kw)
+
+        np.testing.assert_array_equal(np.asarray(vs), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(ds), np.asarray(d1))
+
+    def test_rowsharded_rejects_too_few_real_rows(self, mesh):
         from recon3d_tpu.depth.sgm_sharded import (
             sgm_disparity_pallas_rowsharded)
         from recon3d_tpu.parallel.mesh import make_mesh
 
         row_mesh = make_mesh(4, ("row",))
-        img = jnp.zeros((100, 128), jnp.float32)  # 100 % 32 != 0
-        with pytest.raises(AssertionError, match="pad to"):
+        # 100 -> Hpad 128, last shard keeps 4 real rows < the 8-row halo
+        img = jnp.zeros((100, 128), jnp.float32)
+        with pytest.raises(AssertionError, match="real rows"):
             sgm_disparity_pallas_rowsharded(img, img, row_mesh,
                                             interpret=True)
 
