@@ -154,6 +154,13 @@ class IncrementalMesher:
         vol, dirty = self._integrate_fn(vol, depth, intr, extrinsic,
                                         color, self.cache.dirty)
         self.cache = self.cache._replace(dirty=dirty)
+        # start the tiny dirty-mask D2H now so _run_update's host read
+        # overlaps the integrate instead of paying a fresh round-trip
+        # (~50 ms on a tunneled chip)
+        try:
+            dirty.copy_to_host_async()
+        except Exception:
+            pass
         return vol
 
     def mark_all_dirty(self) -> None:
@@ -247,10 +254,14 @@ class IncrementalMesher:
                 cand = jnp.where(unresolved & ~used[cur], cur, S)
                 claim = jnp.full((S,), N3, jnp.int32).at[cand].min(
                     idx, mode="drop")
-                won = claim < N3
-                used = used | won
-                key = jnp.where(won[:, None],
-                                q[jnp.clip(claim, 0, N3 - 1)], key)
+                # corner-side win test + scatter-writes: the table-side
+                # form (key = where(claim<N3, q[claim], key)) gathered
+                # all S=4M rows of q per round — 10x the lanes of the N3
+                # corners actually probing
+                won = (cand < S) & (claim[jnp.clip(cand, 0, S - 1)] == idx)
+                wt = jnp.where(won, cur, S)
+                used = used.at[wt].set(True, mode="drop")
+                key = key.at[wt].set(q, mode="drop")
                 match = (unresolved & used[cur]
                          & jnp.all(key[cur] == q, axis=1))
                 slot_of = jnp.where(match, cur, slot_of)

@@ -109,6 +109,20 @@ def _tet_validity(vals, ok):
     return jnp.stack([v for pair in zip(va, vb) for v in pair], -1)
 
 
+def _tet_validity_z(vals_z, ok):
+    """_tet_validity on 8 separate z-leading (Z, X, Y) corner slices,
+    returning (Z, 12, X, Y) — identical bits, TPU-friendly layout (see
+    _slab_tris). Candidate order is [tet0_a, tet0_b, tet1_a, ...] on
+    axis 1, matching _tet_validity's trailing axis."""
+    inside = [v < 0.0 for v in vals_z]
+    out = []
+    for tet in _TETS:
+        n_in = sum(inside[c].astype(jnp.int32) for c in tet)
+        out.append(ok & (n_in >= 1) & (n_in <= 3))
+        out.append(ok & (n_in == 2))
+    return jnp.stack(out, 1)
+
+
 _TETS_ARR = _np.array(_TETS, _np.int32)  # (6, 4) corner ids per tet
 
 
@@ -125,23 +139,33 @@ def _slab_tris(vol: TSDFVolume, z0, z_lo, slab: int, cap_per_slab: int,
     t, w, R = vol.tsdf, vol.weight, vol.resolution
     X, Y, Z = R - 1, R - 1, slab
     K = Z * 12
-    # cubes with corner z in [z0, z0+slab): a (R, R, slab+1) z-window
-    tw = jax.lax.dynamic_slice_in_dim(t, z0, slab + 1, axis=2)
-    ww = jax.lax.dynamic_slice_in_dim(w, z0, slab + 1, axis=2)
-    # corner values for each cube: (X, Y, Z, 8)
-    vals = jnp.stack([
-        tw[(c & 1):(c & 1) + X, ((c >> 1) & 1):((c >> 1) & 1) + Y,
-           ((c >> 2) & 1):((c >> 2) & 1) + Z] for c in range(8)], -1)
+    # cubes with corner z in [z0, z0+slab): a (slab+1, R, R) z-LEADING
+    # window. z-minor layouts here put a dim of `slab`=8 on the 128-lane
+    # axis, so every (X, Y, Z[, 8]) intermediate padded 16x — the
+    # validity phase was moving ~2 GB per 8-slab batch for 130 MB of
+    # payload. z-leading keeps y on the lanes (255 -> 256, ~1x padding).
+    twz = jnp.transpose(jax.lax.dynamic_slice_in_dim(t, z0, slab + 1,
+                                                     axis=2), (2, 0, 1))
+    wwz = jnp.transpose(jax.lax.dynamic_slice_in_dim(w, z0, slab + 1,
+                                                     axis=2), (2, 0, 1))
+    # corner values for each cube: 8 x (Z, X, Y) slices (never stacked —
+    # the old (X, Y, Z, 8) stack was the worst-padded array of all)
+    vals_z = [
+        twz[((c >> 2) & 1):((c >> 2) & 1) + Z, (c & 1):(c & 1) + X,
+            ((c >> 1) & 1):((c >> 1) & 1) + Y] for c in range(8)]
     wok = None
     for c in range(8):
-        wc = ww[(c & 1):(c & 1) + X, ((c >> 1) & 1):((c >> 1) & 1) + Y,
-                ((c >> 2) & 1):((c >> 2) & 1) + Z] >= weight_min
+        wc = wwz[((c >> 2) & 1):((c >> 2) & 1) + Z, (c & 1):(c & 1) + X,
+                 ((c >> 1) & 1):((c >> 1) & 1) + Y] >= weight_min
         wok = wc if wok is None else (wok & wc)
     zidx = z0 + jnp.arange(Z)
-    ok = wok & (zidx >= z_lo)[None, None, :]
+    ok = wok & (zidx >= z_lo)[:, None, None]
 
     # ---- compaction on validity bits only (no geometry yet)
-    val = _tet_validity(vals, ok).reshape(X * Y, K)  # (G, K)
+    # (Z, 12, X, Y) -> (X, Y, Z, 12): candidate ids keep the layout the
+    # geometry phase and the soup cursor have always used (k = z*12 + j)
+    val = jnp.transpose(_tet_validity_z(vals_z, ok),
+                        (2, 3, 0, 1)).reshape(X * Y, K)  # (G, K)
     counts = jnp.sum(val.astype(jnp.int32), axis=1)  # (G,)
     order = jnp.argsort(~val, axis=1, stable=True)   # (G, K) lane sort
     cum = jnp.cumsum(counts)                         # inclusive
@@ -160,7 +184,8 @@ def _slab_tris(vol: TSDFVolume, z0, z_lo, slab: int, cap_per_slab: int,
     tet_i = (k % 12) // 2
     ab = k % 2
     cids = jnp.asarray(_TETS_ARR)[tet_i]             # (cap, 4)
-    vv = vals[x[:, None], y[:, None], z_rel[:, None], cids]  # (cap, 4)
+    v8 = jnp.stack([vz[z_rel, x, y] for vz in vals_z], -1)   # (cap, 8)
+    vv = jnp.take_along_axis(v8, cids, axis=1)               # (cap, 4)
     base = jnp.stack([x, y, z0 + z_rel], -1).astype(jnp.float32)
     pp = (base[:, None, :] + jnp.asarray(_CORNER_OFFSETS)[cids]) \
         * vol.voxel_size + vol.origin                # (cap, 4, 3)

@@ -79,6 +79,57 @@ def make_volume(
     )
 
 
+def _frame_contrib(
+    vol: TSDFVolume,
+    depth: jax.Array,
+    intr: CameraIntrinsics,
+    extrinsic: jax.Array,
+    color: Optional[jax.Array] = None,
+    depth_trunc: float = 3.0,
+):
+    """One frame's TSDF contribution in weighted-sum form: (w*tsdf_new,
+    w_new, w*color_sample) with w_new in {0, 1}.
+
+    This is the order-independent summand B sequential integrates
+    telescope to — t_B = (t_0*w_0 + sum_i n_i) / (w_0 + sum_i w_i) — so a
+    frame BATCH can integrate as one vmapped sum (integrate_frames) and,
+    with the batch sharded over a device mesh axis, as one all-reduce
+    (parallel.fusion.fused_frames_sharded). Exact while no voxel's weight
+    crosses weight_max mid-batch (the cap applies at combine time).
+    """
+    R = vol.resolution
+    # voxel centers in world space
+    idx = jnp.arange(R, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], -1) * vol.voxel_size + vol.origin  # (R,R,R,3)
+    cam = pts @ extrinsic[:3, :3].T + extrinsic[:3, 3]
+    z = cam[..., 2]
+    u = intr.fx * cam[..., 0] / jnp.maximum(z, 1e-9) + intr.cx
+    v = intr.fy * cam[..., 1] / jnp.maximum(z, 1e-9) + intr.cy
+
+    H, W = depth.shape
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    inb = (z > 1e-6) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    uc = jnp.clip(ui, 0, W - 1)
+    vc = jnp.clip(vi, 0, H - 1)
+    d = depth[vc, uc]
+    valid_d = (d > 1e-4) & (d < depth_trunc) & inb
+
+    sdf = d - z
+    tsdf_new = jnp.clip(sdf / vol.sdf_trunc, -1.0, 1.0)
+    # integrate only within the truncation band in front of the surface
+    upd = valid_d & (sdf > -vol.sdf_trunc)
+    w_new = upd.astype(jnp.float32)
+    cf = None
+    if color is not None:
+        c = jnp.asarray(color)
+        if c.dtype == jnp.uint8:
+            c = c.astype(jnp.float32) / 255.0
+        cf = jnp.where(upd[..., None], c[vc, uc], 0.0)
+    return jnp.where(upd, tsdf_new, 0.0), w_new, cf
+
+
 def _integrate(
     vol: TSDFVolume,
     depth: jax.Array,
@@ -105,41 +156,17 @@ def _integrate(
     later frames stay bitwise at +1.0 ((w*1+1)/(w+1) is exact in f32), so
     the profile tracks the visible surface shell, not the whole frustum.
     """
-    R = vol.resolution
-    # voxel centers in world space
-    idx = jnp.arange(R, dtype=jnp.float32)
-    gx, gy, gz = jnp.meshgrid(idx, idx, idx, indexing="ij")
-    pts = jnp.stack([gx, gy, gz], -1) * vol.voxel_size + vol.origin  # (R,R,R,3)
-    cam = pts @ extrinsic[:3, :3].T + extrinsic[:3, 3]
-    z = cam[..., 2]
-    u = intr.fx * cam[..., 0] / jnp.maximum(z, 1e-9) + intr.cx
-    v = intr.fy * cam[..., 1] / jnp.maximum(z, 1e-9) + intr.cy
-
-    H, W = depth.shape
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
-    inb = (z > 1e-6) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
-    uc = jnp.clip(ui, 0, W - 1)
-    vc = jnp.clip(vi, 0, H - 1)
-    d = depth[vc, uc]
-    valid_d = (d > 1e-4) & (d < depth_trunc) & inb
-
-    sdf = d - z
-    tsdf_new = jnp.clip(sdf / vol.sdf_trunc, -1.0, 1.0)
-    # integrate only within the truncation band in front of the surface
-    upd = valid_d & (sdf > -vol.sdf_trunc)
-    w_new = upd.astype(jnp.float32)
+    n1, w_new, cf = _frame_contrib(
+        vol, depth, intr, extrinsic,
+        color if vol.color is not None else None, depth_trunc)
+    upd = w_new > 0.0
 
     w_old = vol.weight
     w_sum = w_old + w_new
-    tsdf = jnp.where(upd, (vol.tsdf * w_old + tsdf_new) / jnp.maximum(w_sum, 1.0), vol.tsdf)
+    tsdf = jnp.where(upd, (vol.tsdf * w_old + n1) / jnp.maximum(w_sum, 1.0), vol.tsdf)
     w_tot = jnp.minimum(w_sum, weight_max)
     out = dataclasses.replace(vol, tsdf=tsdf, weight=w_tot)
-    if vol.color is not None and color is not None:
-        c = jnp.asarray(color)
-        if c.dtype == jnp.uint8:
-            c = c.astype(jnp.float32) / 255.0
-        cf = c[vc, uc]
+    if cf is not None:
         cnew = jnp.where(
             upd[..., None],
             (vol.color * w_old[..., None] + cf) / jnp.maximum(w_sum, 1.0)[..., None],
@@ -163,6 +190,61 @@ def _integrate(
 # producer/consumer pipeline (pipeline.streaming) always rebinds.
 integrate = jax.jit(_integrate)
 integrate_donated = jax.jit(_integrate, donate_argnums=(0,))
+
+
+def _integrate_frames(
+    vol: TSDFVolume,
+    depths: jax.Array,
+    intr: CameraIntrinsics,
+    extrinsics: jax.Array,
+    colors: Optional[jax.Array] = None,
+    depth_trunc: float = 3.0,
+    weight_max: float = 64.0,
+) -> TSDFVolume:
+    """Integrate a BATCH of B frames in one order-independent step.
+
+    Equals B sequential _integrate calls up to f32 summation order, while
+    no voxel's weight crosses weight_max mid-batch (the cap applies once,
+    at combine time). The per-frame contributions are independent, so
+    with `depths`/`extrinsics` sharded over a mesh axis the frame sum
+    lowers to one all-reduce — the multi-chip leg of the check90-style
+    streaming consumer (parallel/fusion.py).
+    """
+    with_c = vol.color is not None and colors is not None
+
+    if with_c:
+        n, w, c = jax.vmap(
+            lambda d, e, col: _frame_contrib(vol, d, intr, e, col,
+                                             depth_trunc)
+        )(depths, extrinsics, colors)
+        c_sum = jnp.sum(c, axis=0)
+    else:
+        n, w, _ = jax.vmap(
+            lambda d, e: _frame_contrib(vol, d, intr, e, None, depth_trunc)
+        )(depths, extrinsics)
+    n_sum = jnp.sum(n, axis=0)
+    w_new = jnp.sum(w, axis=0)
+
+    upd = w_new > 0.0
+    w_old = vol.weight
+    w_sum = w_old + w_new
+    tsdf = jnp.where(upd, (vol.tsdf * w_old + n_sum)
+                     / jnp.maximum(w_sum, 1.0), vol.tsdf)
+    out = dataclasses.replace(vol, tsdf=tsdf,
+                              weight=jnp.minimum(w_sum, weight_max))
+    if with_c:
+        cnew = jnp.where(
+            upd[..., None],
+            (vol.color * w_old[..., None] + c_sum)
+            / jnp.maximum(w_sum, 1.0)[..., None],
+            vol.color,
+        )
+        out = dataclasses.replace(out, color=cnew)
+    return out
+
+
+integrate_frames = jax.jit(_integrate_frames, donate_argnums=(0,))
+
 
 
 @partial(jax.jit, static_argnames=("capacity",))

@@ -559,8 +559,12 @@ class StreamingFusion:
         """OR per-frame slab hits into the live mesher's dirty set —
         device arrays in, device OR, no sync."""
         if self.mesher is not None and hits.shape[0]:
-            self.mesher.cache = self.mesher.cache._replace(
-                dirty=self.mesher.cache.dirty | hits)
+            dirty = self.mesher.cache.dirty | hits
+            self.mesher.cache = self.mesher.cache._replace(dirty=dirty)
+            try:  # prefetch: update()'s host read overlaps the stream
+                dirty.copy_to_host_async()
+            except Exception:
+                pass
 
     def extract_mesh(self):
         mesh = _marching.extract_triangle_mesh(self.volume)

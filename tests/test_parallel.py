@@ -309,3 +309,65 @@ class TestMeshHelpers:
         import __graft_entry__ as g
 
         g.dryrun_multichip(N_DEV)
+
+
+class TestShardedFusionConsumer:
+    """SURVEY section 2.5's 'optional multi-chip sharding over frames' for
+    the STREAMING consumer (check90.py:188-241): a backlog of B frames
+    tracks in parallel against the broadcast keyframe and integrates as
+    one all-reduced weighted sum (parallel/fusion.py). Sharded output must
+    match the sequential per-frame odometry+integrate path."""
+
+    def test_fused_frames_sharded_matches_sequential(self, mesh):
+        from recon3d_tpu.camera.fake import SyntheticRGBDCamera
+        from recon3d_tpu.fusion import tsdf as _tsdf
+        from recon3d_tpu.parallel.fusion import fused_frames_sharded
+        from recon3d_tpu.registration.odometry import compute_rgbd_odometry
+        from recon3d_tpu.utils.types import CameraIntrinsics, RGBDImage
+
+        cam = SyntheticRGBDCamera(width=96, height=80, fx=80.0, fy=80.0,
+                                  n_frames=N_DEV + 1)
+        cam.open()
+        frames = [cam.grab() for _ in range(N_DEV + 1)]
+        cam.close()
+        intr = CameraIntrinsics(fx=jnp.float32(80.0), fy=jnp.float32(80.0),
+                                cx=jnp.float32(96 / 2 - 0.5),
+                                cy=jnp.float32(80 / 2 - 0.5))
+        kc, kd = frames[0]
+        colors = jnp.stack([jnp.asarray(c) for c, _ in frames[1:]])
+        depths = jnp.stack([jnp.asarray(d) for _, d in frames[1:]])
+
+        def mk_vol():
+            return _tsdf.make_volume(
+                48, voxel_size=0.02, sdf_trunc=0.1,
+                origin=(-0.5, -0.5, 0.5), with_color=False)
+
+        vol_sh, wfcs, ok = fused_frames_sharded(
+            mk_vol(), kc, kd, colors, depths, intr, mesh,
+            odo_levels=2)
+        assert _n_frame_shards(wfcs) == N_DEV
+        assert bool(np.asarray(ok).all()), "odometry failed on clean frames"
+
+        # sequential oracle: per-frame odometry vs the same keyframe +
+        # per-frame integrate
+        key = RGBDImage(color=jnp.asarray(kc), depth=jnp.asarray(kd))
+        vol_seq = mk_vol()
+        wfcs_seq = []
+        for b in range(N_DEV):
+            res = compute_rgbd_odometry(
+                key, RGBDImage(color=colors[b], depth=depths[b]), intr,
+                levels=2)
+            wfc = jnp.linalg.inv(res.transformation)
+            wfcs_seq.append(wfc)
+            vol_seq = _tsdf.integrate(vol_seq, depths[b], intr,
+                                      jnp.linalg.inv(wfc))
+
+        np.testing.assert_allclose(np.asarray(wfcs),
+                                   np.asarray(jnp.stack(wfcs_seq)),
+                                   atol=1e-5)
+        # weighted-sum integrate == sequential integrates up to f32
+        # summation order (weight cap not reached at B=8 < 64)
+        np.testing.assert_allclose(np.asarray(vol_sh.tsdf),
+                                   np.asarray(vol_seq.tsdf), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(vol_sh.weight),
+                                      np.asarray(vol_seq.weight))
