@@ -554,7 +554,7 @@ def _mk_vfinalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
                          w_real: int, uniqueness_ratio: int,
                          disp12_max_diff: int, do_subpixel: bool,
                          p1: float, p2: float, reverse: bool,
-                         with_diag: bool = False):
+                         with_diag: bool = False, with_bwd: bool = False):
     """Fused vertical scan + finalize on full-width FH-row bands.
 
     Grid (bands,) swept bottom->top (reverse=True: the upward path of
@@ -571,11 +571,42 @@ def _mk_vfinalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
     eight paths still never materialize an HBM aggregate.
     """
     assert not with_diag or reverse, "diagonal finalize is the upward sweep"
+    assert not (with_diag and with_bwd), "8-dir keeps the separate bwd pass"
 
-    def kernel(cost_ref, v3_ref, disp_ref, valid_ref, carry_ref):
+    def kernel(cost_ref, v3_ref, disp_ref, valid_ref, carry_ref, *extra):
         @pl.when(pl.program_id(0) == 0)
         def _():
             carry_ref[:] = jnp.zeros_like(carry_ref)
+
+        if with_bwd:
+            # band-local backward-horizontal path fused in: v3_ref here is
+            # v1 (fwd[+down] only) and the band's L_bwd accumulates onto
+            # it in VMEM scratch, so the v3 volume never round-trips HBM
+            # (the separate bwd kernel read cost+v1 and wrote v3: ~2.6 GB
+            # of traffic per 1080p frame). Same chunked recurrence as
+            # _mk_hscan_kernel(reverse=True, accumulate=True) — bitwise
+            # identical sums, band height fh instead of 64 (rows are
+            # independent under a horizontal scan).
+            bwd_s = extra[0]
+            n_chunks = w_pad // 16
+
+            def chunk_body(ci, carry_b):
+                c0 = (n_chunks - 1 - ci) * 16
+                c0 = pl.multiple_of(c0, 16)
+                chunk = _u16f(cost_ref[:, pl.ds(c0, 16), :])
+                acc = v3_ref[:, pl.ds(c0, 16), :]
+                outs = []
+                for x in range(15, -1, -1):
+                    carry_b = _path_step(carry_b, chunk[:, x, :], p1, p2)
+                    outs.append(carry_b + acc[:, x, :])
+                bwd_s[:, pl.ds(c0, 16), :] = jnp.stack(outs[::-1], axis=1)
+                return carry_b
+
+            jax.lax.fori_loop(0, n_chunks, chunk_body,
+                              jnp.zeros((fh, d_pad), jnp.float32))
+
+        def v3_row(i):
+            return bwd_s[i] if with_bwd else v3_ref[i]
 
         carry = carry_ref[0] if with_diag else carry_ref[:]
         if with_diag:
@@ -586,7 +617,7 @@ def _mk_vfinalize_kernel(fh: int, d_real: int, d_pad: int, w_pad: int,
         for i in order:
             c = _u16f(cost_ref[i])
             carry = _path_step(carry, c, p1, p2)
-            rows[i] = carry + v3_ref[i]
+            rows[i] = carry + v3_row(i)
             if with_diag:
                 cur = _path_step(_shift_cols(cur, +1), c, p1, p2)
                 cul = _path_step(_shift_cols(cul, -1), c, p1, p2)
@@ -992,6 +1023,7 @@ def aggregate_and_finalize(
     v1: jax.Array | None = None,
     final_dir: str = "up",
     with_diag: bool = False,
+    fuse_bwd: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Path aggregation + WTA/subpixel/uniqueness/LR on a padded uint16
     cost volume. Returns (disp_raw f32 in d-index units, valid bool), both
@@ -1009,6 +1041,7 @@ def aggregate_and_finalize(
     """
     assert final_dir in ("up", "down"), final_dir
     assert not with_diag or final_dir == "up", "8-direction mode ends up"
+    assert not (fuse_bwd and with_diag), "8-dir keeps the separate bwd pass"
     HP, WP, DP = cost_u16.shape
     assert HP % 64 == 0 and WP % 8 == 0 and DP % 128 == 0, cost_u16.shape
     _, XT = _pick_xtile(WP)
@@ -1054,8 +1087,10 @@ def aggregate_and_finalize(
 
     # backward-horizontal path accumulated onto v1 -> v3 (64-row bands,
     # right-to-left; measured faster than full-height strips, whose live
-    # column set spills)
-    v3 = pl.pallas_call(
+    # column set spills). With fuse_bwd the pass instead rides the
+    # finalize kernel's band sweep (band-local VMEM accumulate), so the
+    # v3 volume never exists in HBM (~2.6 GB less traffic per frame).
+    v3 = v1 if fuse_bwd else pl.pallas_call(
         _mk_hscan_kernel(XT, p1f, p2f, reverse=True, accumulate=True),
         grid=(nb, nx),
         in_specs=[hblock_r, hblock_r], out_specs=hblock_r,
@@ -1092,24 +1127,29 @@ def aggregate_and_finalize(
     rmap = (lambda b: (nbf - 1 - b, 0)) if rev else (lambda b: (b, 0))
     fband = pl.BlockSpec((FH, WP, DP), bmap, memory_space=pltpu.VMEM)
     frow = pl.BlockSpec((FH, WP), rmap, memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((3, WP, DP), jnp.float32) if with_diag
+               else pltpu.VMEM((WP, DP), jnp.float32)]
+    if fuse_bwd:
+        scratch.append(pltpu.VMEM((FH, WP, DP), jnp.float32))
     disp_raw, valid_i32 = pl.pallas_call(
         _mk_vfinalize_kernel(FH, num_disparities, DP, WP,
                              WP if w_real is None else w_real,
                              uniqueness_ratio, disp12_max_diff,
                              do_subpixel, p1f, p2f, reverse=rev,
-                             with_diag=with_diag),
+                             with_diag=with_diag, with_bwd=fuse_bwd),
         grid=(nbf,),
         in_specs=[fband, fband],
         out_specs=(frow, frow),
         out_shape=(jax.ShapeDtypeStruct((HP, WP), jnp.float32),
                    jax.ShapeDtypeStruct((HP, WP), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((3, WP, DP), jnp.float32) if with_diag
-                        else pltpu.VMEM((WP, DP), jnp.float32)],
+        scratch_shapes=scratch,
         # 117 MB, not 100: the reverse ("up") sweep's stack liveness peaks
         # ~110 MB at 1080p/D=128 (the forward sweep fits 100), and v5e VMEM
-        # is 128 MB — at 100 MB the 4/8-direction modes OOM'd at compile
+        # is 128 MB — at 100 MB the 4/8-direction modes OOM'd at compile.
+        # The fused-bwd variant adds an FH-band scratch (~8 MB at 1080p),
+        # so it gets the remaining headroom.
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=117 * 1024 * 1024),
+            vmem_limit_bytes=(126 if fuse_bwd else 117) * 1024 * 1024),
         interpret=interpret,
     )(cost_u16, v3)
 

@@ -114,7 +114,7 @@ class IncrementalMesher:
             nunres=jnp.zeros((), jnp.int32),
         )
         self._integrate_fn = None
-        self._update_fn = None
+        self._update_fns = {}  # chunk size K -> jitted refresh program
         self._mesh_fn = None
         # weld-table health: tombstoned slots keep their keys, so a very
         # long session whose TSDF drift keeps minting new quantized keys
@@ -247,35 +247,70 @@ class IncrementalMesher:
             h = ((q[:, 0] * jnp.int32(73856093))
                  ^ (q[:, 1] * jnp.int32(19349663))
                  ^ (q[:, 2] * jnp.int32(83492791))) & (S - 1)
-            idx = jnp.arange(N3, dtype=jnp.int32)
 
-            def round_body(st):
-                p, used, key, slot_of, unresolved, cur = st
-                cand = jnp.where(unresolved & ~used[cur], cur, S)
-                claim = jnp.full((S,), N3, jnp.int32).at[cand].min(
-                    idx, mode="drop")
-                # corner-side win test + scatter-writes: the table-side
-                # form (key = where(claim<N3, q[claim], key)) gathered
-                # all S=4M rows of q per round — 10x the lanes of the N3
-                # corners actually probing
-                won = (cand < S) & (claim[jnp.clip(cand, 0, S - 1)] == idx)
-                wt = jnp.where(won, cur, S)
-                used = used.at[wt].set(True, mode="drop")
-                key = key.at[wt].set(q, mode="drop")
-                match = (unresolved & used[cur]
-                         & jnp.all(key[cur] == q, axis=1))
-                slot_of = jnp.where(match, cur, slot_of)
-                unresolved = unresolved & ~match
-                cur = (cur + 2 * p + 1) & (S - 1)
-                return p + 1, used, key, slot_of, unresolved, cur
+            def probe_lanes(qp, hp, unres0, used, key):
+                """Probe M lanes against the persistent table. Per-round
+                cost scales with M (gathers dominate on TPU), which is
+                why callers compact to valid corners first."""
+                M = qp.shape[0]
+                idxm = jnp.arange(M, dtype=jnp.int32)
 
-            def round_cond(st):
-                return (st[0] < probes) & jnp.any(st[4])
+                def round_body(st):
+                    p, used, key, slot_of, unresolved, cur = st
+                    cand = jnp.where(unresolved & ~used[cur], cur, S)
+                    claim = jnp.full((S,), M, jnp.int32).at[cand].min(
+                        idxm, mode="drop")
+                    # table-side win resolution (gather + where). A
+                    # corner-side scatter form (used/key .at[won].set)
+                    # was tried and measured ~25% SLOWER end to end on
+                    # v5e — TPU scatters with dynamic indices cost more
+                    # than the (S,)-row gather they replaced.
+                    won = claim < M
+                    used = used | won
+                    key = jnp.where(won[:, None],
+                                    qp[jnp.clip(claim, 0, M - 1)], key)
+                    match = (unresolved & used[cur]
+                             & jnp.all(key[cur] == qp, axis=1))
+                    slot_of = jnp.where(match, cur, slot_of)
+                    unresolved = unresolved & ~match
+                    cur = (cur + 2 * p + 1) & (S - 1)
+                    return p + 1, used, key, slot_of, unresolved, cur
 
-            _, used, key, slot_of, unresolved, _ = jax.lax.while_loop(
-                round_cond, round_body,
-                (jnp.int32(0), cache.used, cache.key,
-                 jnp.zeros((N3,), jnp.int32), v3, h))
+                def round_cond(st):
+                    return (st[0] < probes) & jnp.any(st[4])
+
+                _, used, key, slot_of, unresolved, _ = jax.lax.while_loop(
+                    round_cond, round_body,
+                    (jnp.int32(0), used, key,
+                     jnp.zeros((M,), jnp.int32), unres0, hp))
+                return used, key, slot_of, unresolved
+
+            # corner compaction: cap is sized for worst-case slabs, so
+            # typically <25% of the N3 lanes are live — probing only the
+            # compacted live lanes cuts the per-round gather traffic 4x.
+            # The rare denser batch falls back to the full-lane probe.
+            CAPC = max(1024, N3 // 4)
+
+            def compact_probe(used, key):
+                cidx = jnp.where(v3, size=CAPC, fill_value=N3)[0]
+                cc = jnp.clip(cidx, 0, N3 - 1)
+                livec = cidx < N3
+                qc = jnp.where(livec[:, None], q[cc], -(1 << 30))
+                used, key, slot_c, unres_c = probe_lanes(
+                    qc, h[cc], livec, used, key)
+                back = jnp.where(livec, cidx, N3)
+                slot_of = jnp.zeros((N3,), jnp.int32).at[back].set(
+                    slot_c, mode="drop")
+                unresolved = jnp.zeros((N3,), bool).at[back].set(
+                    unres_c, mode="drop")
+                return used, key, slot_of, unresolved
+
+            def full_probe(used, key):
+                return probe_lanes(q, h, v3, used, key)
+
+            used, key, slot_of, unresolved = jax.lax.cond(
+                jnp.sum(v3, dtype=jnp.int32) <= CAPC,
+                compact_probe, full_probe, cache.used, cache.key)
 
             # triangle-atomic: keep a triangle only if all three corners
             # landed slots, so removal stays symmetric
@@ -312,20 +347,26 @@ class IncrementalMesher:
         return int(np.asarray(self.cache.nunres))
 
     def _run_update(self, vol) -> None:
-        """Refresh all currently-dirty slabs in ceil(ndirty / K) batched
-        dispatches. The dirty mask is a (n_slabs,) bool sync — one tiny
-        transfer per remesh, paid to pick the batch count host-side (the
-        alternative, a fixed-size device-side top-K, silently truncates
-        when more than K slabs are dirty)."""
-        if self._update_fn is None:
-            self._update_fn = self._build_update(self.batch_k)
+        """Refresh all currently-dirty slabs in greedy power-of-two
+        batches (8+4+2+1 covering any count): padded batch entries would
+        still pay a full slab march, so exact-size chunks keep the work
+        proportional to the DIRTY count, not to ceil(n/K)*K. The dirty
+        mask is a (n_slabs,) bool sync — one tiny transfer per remesh
+        (prefetched asynchronously by integrate), paid to pick the chunk
+        sizes host-side (a fixed-size device-side top-K would silently
+        truncate when more than K slabs are dirty)."""
         dirty = np.where(np.asarray(self.cache.dirty))[0].astype(np.int32)
-        K = self.batch_k
-        for s in range(0, dirty.size, K):
-            chunk = np.full((K,), self.n_slabs, np.int32)
-            chunk[:min(K, dirty.size - s)] = dirty[s:s + K]
-            self.cache = self._update_fn(vol, self.cache,
-                                         jnp.asarray(chunk))
+        pos = 0
+        while pos < dirty.size:
+            rest = dirty.size - pos
+            K = next(k for k in (8, 4, 2, 1)
+                     if k <= min(rest, self.batch_k))
+            fn = self._update_fns.get(K)
+            if fn is None:
+                fn = self._update_fns[K] = self._build_update(K)
+            self.cache = fn(vol, self.cache,
+                            jnp.asarray(dirty[pos:pos + K]))
+            pos += K
 
     def update(self, vol: TSDFVolume) -> "IncrementalMesher":
         """Refresh dirty slabs in batched device dispatches; clean slabs

@@ -144,10 +144,14 @@ def _slab_tris(vol: TSDFVolume, z0, z_lo, slab: int, cap_per_slab: int,
     # axis, so every (X, Y, Z[, 8]) intermediate padded 16x — the
     # validity phase was moving ~2 GB per 8-slab batch for 130 MB of
     # payload. z-leading keeps y on the lanes (255 -> 256, ~1x padding).
-    twz = jnp.transpose(jax.lax.dynamic_slice_in_dim(t, z0, slab + 1,
-                                                     axis=2), (2, 0, 1))
-    wwz = jnp.transpose(jax.lax.dynamic_slice_in_dim(w, z0, slab + 1,
-                                                     axis=2), (2, 0, 1))
+    # transpose the WHOLE volume once, then slice the leading axis: the
+    # transpose has no per-slab operand, so under the incremental
+    # mesher's vmap-over-slabs XLA hoists it out of the batch (a per-slab
+    # transpose materialized a badly-padded (K, R, R, slab+1) batch)
+    tz = jnp.transpose(t, (2, 0, 1))
+    wz = jnp.transpose(w, (2, 0, 1))
+    twz = jax.lax.dynamic_slice_in_dim(tz, z0, slab + 1, axis=0)
+    wwz = jax.lax.dynamic_slice_in_dim(wz, z0, slab + 1, axis=0)
     # corner values for each cube: 8 x (Z, X, Y) slices (never stacked —
     # the old (X, Y, Z, 8) stack was the worst-padded array of all)
     vals_z = [

@@ -70,16 +70,18 @@ class TestOfflinePipeline:
         from recon3d_tpu.pipeline.offline import Scanner3D
         from recon3d_tpu.utils import io
 
-        sc = Scanner3D(_cam(4), _intr(), _small_cfg(tmp_path))
-        path = sc.run(n_frames=4)
+        # 3 frames exercise every stage (multi-pair registration, pose
+        # graph with >1 edge, TSDF, mesh) at ~3/4 the round-3 wall cost
+        sc = Scanner3D(_cam(3), _intr(), _small_cfg(tmp_path))
+        path = sc.run(n_frames=3)
         assert os.path.exists(path)
         d = io.read_ply(path)
         assert len(d["points"]) > 500 and "triangles" in d
         # frames checkpointed to disk (mini1.py per-frame saving)
-        assert len(glob.glob(str(tmp_path / "color_*.png"))) == 4
-        assert len(glob.glob(str(tmp_path / "depth_*.png"))) == 4
+        assert len(glob.glob(str(tmp_path / "color_*.png"))) == 3
+        assert len(glob.glob(str(tmp_path / "depth_*.png"))) == 3
         # pose graph nodes should track the (small) true camera motion
-        assert len(sc.pose_graph.nodes) == 4
+        assert len(sc.pose_graph.nodes) == 3
         for i, node in enumerate(sc.pose_graph.nodes):
             # world_from_frame ~ inv(true camera_from_world), translation small
             assert np.isfinite(node).all()

@@ -13,7 +13,8 @@ from recon3d_tpu.registration.icp import (
     information_matrix,
     registration_icp,
 )
-from recon3d_tpu.utils.types import PointCloud
+from recon3d_tpu.registration.odometry import compute_rgbd_odometry
+from recon3d_tpu.utils.types import CameraIntrinsics, PointCloud, RGBDImage
 
 
 def _surface_cloud(n=800, seed=0):
@@ -384,3 +385,62 @@ class TestOdometry:
         f = RGBDImage(color=jnp.asarray(c0), depth=jnp.asarray(d0))
         res = compute_rgbd_odometry(f, f, intr)
         np.testing.assert_allclose(np.asarray(res.transformation), np.eye(4), atol=1e-4)
+
+
+class TestReplayWrapOdometry:
+    """Pins BENCH_r03's '1 odometry failure over 112 frames': the looped
+    golden replay wraps from its last frame back to frame 0 — a genuine
+    camera jump, not tracking drift. The production sweep warp bounds
+    per-level pixel displacement, so the wrap pair must FAIL (and engage
+    the identity+re-key fallback, check82.py:200-207 semantics) while
+    consecutive frames track comfortably. One wrap per replay loop ->
+    exactly one expected failure per ~87 fused frames; bench.py reports
+    the count as the `odometry_failures` extra so growth is visible."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        import glob as _glob
+
+        from recon3d_tpu.camera.fake import FakeRGBDCamera
+
+        if not _glob.glob("/root/reference/test/output/color_*.png"):
+            pytest.skip("golden capture not available")
+        cam = FakeRGBDCamera("/root/reference/test/output", prefetch=False)
+        cam.open()
+        # half-res (stride-2) keeps the sweep-warp compile/runtime inside
+        # the suite budget; the wrap jump dwarfs the sweep bound at any
+        # scale, so the failure mode is unchanged
+        frames = [(c[::2, ::2], d[::2, ::2])
+                  for c, d in (cam.grab() for _ in range(len(cam)))]
+        cam.close()
+        intr = CameraIntrinsics(
+            fx=jnp.float32(616.63 / 2), fy=jnp.float32(616.31 / 2),
+            cx=jnp.float32(312.58 / 2), cy=jnp.float32(242.22 / 2))
+        return frames, intr
+
+    def _rgbd(self, frames, i):
+        c, d = frames[i]
+        return RGBDImage(color=jnp.asarray(c), depth=jnp.asarray(d))
+
+    def test_wrap_pair_fails_consecutive_succeeds(self, golden):
+        frames, intr = golden
+        # consecutive golden frames: solid tracking under the sweep warp
+        r = compute_rgbd_odometry(self._rgbd(frames, 0),
+                                  self._rgbd(frames, 1), intr, warp="sweep")
+        assert bool(r.success)
+        assert float(r.inlier_fraction) > 0.5
+        # the loop wrap (last frame -> frame 0): a scene jump beyond the
+        # sweep bound — must fail and hand control to the fallback
+        r = compute_rgbd_odometry(self._rgbd(frames, len(frames) - 1),
+                                  self._rgbd(frames, 0), intr, warp="sweep")
+        assert not bool(r.success)
+
+    def test_wrap_pair_recovers_with_exact_warp(self, golden):
+        """The gather (oracle) warp has no displacement bound: the same
+        wrap pair converges to SOME pose with a nonzero inlier set —
+        evidence the sweep failure is the bound, not degenerate data."""
+        frames, intr = golden
+        r = compute_rgbd_odometry(self._rgbd(frames, len(frames) - 1),
+                                  self._rgbd(frames, 0), intr,
+                                  warp="gather")
+        assert float(r.inlier_fraction) > 0.1

@@ -72,11 +72,16 @@ def main() -> int:
           flush=True)
 
     t0 = time.perf_counter()
-    frame, fargs, _ = bench.build_headline()
+    frame, fargs, scene = bench.build_headline()
     out = frame(*fargs)
     _ = float(out[-1])
     print(f"headline frame program ready in {time.perf_counter() - t0:.1f}s",
           flush=True)
+
+    t0 = time.perf_counter()
+    roof = bench.roofline(scene, 0.0)  # compiles the per-stage programs
+    print(f"roofline stage programs ready in {time.perf_counter() - t0:.1f}s "
+          f"({roof['stage_sum_ms']} ms summed)", flush=True)
 
     if args.streaming:
         from recon3d_tpu.camera.fake import FakeRGBDCamera
@@ -99,8 +104,17 @@ def main() -> int:
         # weld programs the bench times
         mesh = marching.extract_triangle_mesh(sf.volume)
         jax.block_until_ready(mesh.vertices)
-        print(f"streaming consumer + mesh extract ready in "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        # incremental mesher programs (bench's mesh_extract_incremental /
+        # full_device extras): integrate-with-dirty, K-batch update, emit
+        from recon3d_tpu.fusion.incremental import IncrementalMesher
+
+        im = IncrementalMesher(resolution=256)
+        vol = im.integrate(sf.volume, jnp.asarray(depth), intr,
+                           jnp.eye(4, dtype=jnp.float32))
+        m = im.mesh_device(vol)
+        jax.block_until_ready(m.vertices)
+        print(f"streaming consumer + mesh extract + incremental mesher "
+              f"ready in {time.perf_counter() - t0:.1f}s", flush=True)
 
     print(f"persistent cache: {stats.miss} misses, {stats.hit} hits, "
           f"{stats.wrote} writes, {stats.disabled} disabled-lookups",
