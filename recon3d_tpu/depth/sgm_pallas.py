@@ -1009,6 +1009,7 @@ def cost_fwd_down(
 @partial(jax.jit, static_argnames=(
     "p1", "p2", "uniqueness_ratio", "disp12_max_diff", "do_subpixel",
     "num_disparities", "w_real", "interpret", "final_dir", "with_diag",
+    "fuse_bwd",
 ))
 def aggregate_and_finalize(
     cost_u16: jax.Array,

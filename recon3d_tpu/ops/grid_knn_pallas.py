@@ -323,7 +323,7 @@ def _bin_points_packed_pallas(p, valid, radius, grid_size, cell_capacity,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, LB), lambda x, b: (x, b, 0, 0)),
             pl.BlockSpec((1, 1, 1, LB), lambda x, b: (x, b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 4 * C, LB), lambda x, b: (x, 0, b)),
