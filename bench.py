@@ -493,6 +493,11 @@ def main():
         from recon3d_tpu.utils.types import CameraIntrinsics
 
         s_cam = FakeRGBDCamera("/root/reference/test/output", loop=True)
+        s_cam.open()
+        # decode the whole replay before the clock: the stream should
+        # measure the pipeline, not this host's PNG decode speed (a live
+        # sensor delivers at sensor rate)
+        s_cam.wait_prefetched()
         s_intr = CameraIntrinsics(
             fx=jnp.float32(616.63), fy=jnp.float32(616.31),
             cx=jnp.float32(312.58), cy=jnp.float32(242.22))

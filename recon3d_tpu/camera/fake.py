@@ -65,6 +65,27 @@ class FakeRGBDCamera(Camera):
             self._cache = [None] * len(self._pairs)
             threading.Thread(target=self._decode_ahead, daemon=True).start()
 
+    def wait_prefetched(self, timeout: float = 300.0) -> bool:
+        """Block until the background decoder has cached every frame (or
+        timeout). Benchmarks call this so the measured stream exercises
+        the pipeline, not the disk: a replay camera stands in for a live
+        sensor that delivers frames at sensor rate regardless of host
+        decode speed."""
+        if self._cache is None:
+            return True
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        with self._cv:
+            while any(f is None for f in self._cache):
+                if self._decode_error is not None:
+                    raise self._decode_error
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    return False
+                self._cv.wait(timeout=min(left, 5.0))
+        return True
+
     def _decode_ahead(self, chunk: int = 16) -> None:
         """Background ring decoder: fills the frame cache in chunks through
         the native batch loader (thread-pool inflate), falling back to

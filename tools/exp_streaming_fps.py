@@ -13,6 +13,9 @@ from recon3d_tpu.utils.types import CameraIntrinsics
 def main():
     print("devices:", jax.devices())
     s_cam = FakeRGBDCamera("/root/reference/test/output", loop=True)
+    s_cam.open()
+    s_cam.wait_prefetched()
+    print("replay prefetched", flush=True)
     s_intr = CameraIntrinsics(
         fx=jnp.float32(616.63), fy=jnp.float32(616.31),
         cx=jnp.float32(312.58), cy=jnp.float32(242.22))
