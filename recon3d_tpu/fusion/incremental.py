@@ -66,6 +66,9 @@ class MeshCache(NamedTuple):
     vcnt: jax.Array   # (S,) int32 copy count
     ccol: jax.Array   # (S, 3) f32 last sampled vertex color
     nunres: jax.Array  # () int32 corners left slotless since last reset
+    ndrop: jax.Array  # (n_slabs,) int32 triangles truncated per slab by
+    #                   the fixed cache quota, as of each slab's last
+    #                   refresh (sum = current truncation of the mesh)
 
 
 class IncrementalMesher:
@@ -112,6 +115,7 @@ class IncrementalMesher:
             vcnt=jnp.zeros((S,), jnp.int32),
             ccol=jnp.zeros((S, 3), jnp.float32),
             nunres=jnp.zeros((), jnp.int32),
+            ndrop=jnp.zeros((self.n_slabs,), jnp.int32),
         )
         self._integrate_fn = None
         self._update_fns = {}  # chunk size K -> jitted refresh program
@@ -125,6 +129,7 @@ class IncrementalMesher:
         # triangle loss to one check window.
         self.health_check_every = 64
         self._updates_since_check = 0
+        self._warned_dropped = False
 
     # ---- integrate with dirty tracking -------------------------------
     def dirty_hits(self, changed_z: jax.Array) -> jax.Array:
@@ -179,7 +184,8 @@ class IncrementalMesher:
             vsum=jnp.zeros((S, 3), jnp.float32),
             vcnt=jnp.zeros((S,), jnp.int32),
             ccol=jnp.zeros((S, 3), jnp.float32),
-            nunres=jnp.zeros((), jnp.int32))
+            nunres=jnp.zeros((), jnp.int32),
+            ndrop=jnp.zeros((self.n_slabs,), jnp.int32))
 
     # ---- dirty-slab refresh ------------------------------------------
     def _build_update(self, K: int):
@@ -216,13 +222,13 @@ class IncrementalMesher:
             ci = jnp.clip(idxs, 0, n_slabs - 1)          # safe gather idx
 
             def one_slab(z0, z_lo):
-                tri, sel, _ = _marching._slab_tris(
+                tri, sel, n, tot = _marching._slab_tris(
                     vol, z0, z_lo, slab, cap, wmin)
                 # orientation is slab-local (reads only this slab's tsdf
                 # neighborhood) so caching it stays exact
-                return _marching._orient_by_gradient(vol, tri), sel
+                return _marching._orient_by_gradient(vol, tri), sel, tot - n
 
-            tri, sel = jax.vmap(one_slab)(z0s[idxs], z_los[idxs])
+            tri, sel, drop = jax.vmap(one_slab)(z0s[idxs], z_los[idxs])
             sel = sel & live[:, None]                    # (K, cap)
 
             # remove the batch's OLD contributions (exactly what previous
@@ -336,7 +342,12 @@ class IncrementalMesher:
                 dirty=cache.dirty.at[wi].set(False, mode="drop"),
                 key=key, used=used, vsum=vsum, vcnt=vcnt, ccol=ccol,
                 nunres=cache.nunres + jnp.sum(unresolved,
-                                              dtype=jnp.int32))
+                                              dtype=jnp.int32),
+                # triangles past the fixed per-slab cache quota are LOST
+                # for this refresh; record the per-slab count so
+                # dropped_triangles can surface dense-slab truncation
+                # instead of silently meshing with holes
+                ndrop=cache.ndrop.at[wi].set(drop, mode="drop"))
 
         return jax.jit(upd, donate_argnums=(1,))
 
@@ -345,6 +356,14 @@ class IncrementalMesher:
         """Corners that found no weld slot since the last table reset
         (their triangles were dropped). Syncs one scalar on access."""
         return int(np.asarray(self.cache.nunres))
+
+    @property
+    def dropped_triangles(self) -> int:
+        """Triangles the CURRENT cached mesh is missing because dense
+        slabs exceeded the fixed per-slab quota (max_triangles /
+        n_slabs). Nonzero means the live mesh has holes — construct the
+        mesher with a larger max_triangles. Syncs on access."""
+        return int(np.asarray(jnp.sum(self.cache.ndrop)))
 
     def _run_update(self, vol) -> None:
         """Refresh all currently-dirty slabs in greedy power-of-two
@@ -388,6 +407,15 @@ class IncrementalMesher:
                     self.unresolved_corners)
                 self.mark_all_dirty()
                 self._run_update(vol)
+            ndrop = self.dropped_triangles
+            if ndrop > 0 and not self._warned_dropped:
+                import logging
+
+                self._warned_dropped = True
+                logging.getLogger(__name__).warning(
+                    "incremental mesher: %d triangles exceed the per-slab "
+                    "cache quota (%d) and are missing from the live mesh "
+                    "— raise max_triangles", ndrop, self.cap)
         return self
 
     # ---- weld ---------------------------------------------------------

@@ -129,7 +129,9 @@ _TETS_ARR = _np.array(_TETS, _np.int32)  # (6, 4) corner ids per tet
 def _slab_tris(vol: TSDFVolume, z0, z_lo, slab: int, cap_per_slab: int,
                weight_min: float):
     """Triangles for cubes whose corner z lies in [z0, z0+slab), compacted
-    to a (cap_per_slab, 3, 3) buffer + validity + count.
+    to a (cap_per_slab, 3, 3) buffer + validity + emitted count + the
+    TRUE candidate total (total > n means cap_per_slab truncated the
+    slab — callers count those drops instead of losing them silently).
 
     z_lo masks cubes already emitted by the previous slab (the last slab
     is shifted to stay in-bounds and would otherwise overlap). Shared by
@@ -195,15 +197,16 @@ def _slab_tris(vol: TSDFVolume, z0, z_lo, slab: int, cap_per_slab: int,
         * vol.voxel_size + vol.origin                # (cap, 4, 3)
     ta, tb, _, _ = _tet_triangles(pp, vv, sel)
     tri = jnp.where((ab == 1)[:, None, None], tb, ta)
-    return tri, sel, n
+    return tri, sel, n, total
 
 
-@partial(jax.jit, static_argnames=("max_triangles", "slab"))
+@partial(jax.jit, static_argnames=("max_triangles", "slab", "with_dropped"))
 def extract_triangle_soup(
     vol: TSDFVolume,
     max_triangles: int = 1 << 19,
     weight_min: float = 1.0,
     slab: int = 8,
+    with_dropped: bool = False,
 ):
     """TSDF -> triangle soup (T, 3, 3) positions + (T,) validity.
 
@@ -219,25 +222,42 @@ def extract_triangle_soup(
     """
     R = vol.resolution
     n_slabs = (R - 1) // slab + (1 if (R - 1) % slab else 0)
-    cap_per_slab = min(max_triangles // n_slabs + 1, (R - 1) * (R - 1) * slab * 12)
+    # per-slab cap: 4x the uniform quota, bounded by the global buffer
+    # and the cube-count ceiling. A uniform max_triangles // n_slabs
+    # quota silently truncated dense slabs even with global headroom
+    # left (a single surface sheet concentrates the whole soup in the
+    # few slabs it crosses); borrowing lets those slabs use it, and the
+    # cursor still bounds the total. Remaining truncation (slab > 4x
+    # quota, or global overflow) is COUNTED and returned when
+    # with_dropped is set — no silent caps.
+    quota = max_triangles // n_slabs + 1
+    cap_per_slab = min(4 * quota, max_triangles,
+                       (R - 1) * (R - 1) * slab * 12)
 
     def slab_tris(z0, z_lo):
         return _slab_tris(vol, z0, z_lo, slab, cap_per_slab, weight_min)
 
     def body(carry, i):
-        out_tri, out_val, cursor = carry
+        out_tri, out_val, cursor, dropped = carry
         z0 = jnp.minimum(i * slab, R - 1 - slab)
-        tri_c, val_c, n = slab_tris(z0, i * slab)
+        tri_c, val_c, n, tot = slab_tris(z0, i * slab)
         pos = cursor + jnp.arange(cap_per_slab)
+        # triangles past the global buffer collapse onto the last row
+        # (last write wins) — count them as dropped too
+        over = jnp.maximum(
+            jnp.sum(val_c & (pos >= max_triangles), dtype=jnp.int32) - 1, 0)
         pos = jnp.where(val_c, jnp.minimum(pos, max_triangles - 1), max_triangles - 1)
         out_tri = out_tri.at[pos].set(jnp.where(val_c[:, None, None], tri_c, out_tri[pos]))
         out_val = out_val.at[pos].max(val_c)
-        return (out_tri, out_val, cursor + n), None
+        return (out_tri, out_val, cursor + n, dropped + (tot - n) + over), None
 
     out_tri = jnp.zeros((max_triangles, 3, 3), jnp.float32)
     out_val = jnp.zeros((max_triangles,), bool)
-    (out_tri, out_val, count), _ = jax.lax.scan(
-        body, (out_tri, out_val, jnp.asarray(0, jnp.int32)), jnp.arange(n_slabs))
+    (out_tri, out_val, count, dropped), _ = jax.lax.scan(
+        body, (out_tri, out_val, jnp.asarray(0, jnp.int32),
+               jnp.asarray(0, jnp.int32)), jnp.arange(n_slabs))
+    if with_dropped:
+        return out_tri, out_val, count, dropped
     return out_tri, out_val, count
 
 

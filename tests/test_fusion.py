@@ -70,6 +70,60 @@ class TestMarching:
         assert outward.mean() > 0.99  # consistent outward winding
 
 
+class TestDenseSlabQuota:
+    """A single surface sheet concentrates the whole soup in the few
+    slabs it crosses; the old uniform max_triangles // n_slabs per-slab
+    quota silently truncated those slabs even with global headroom left
+    (observed live: every dirty slab of the bench's fused volume
+    saturated at exactly cap). The extractor now lets dense slabs borrow
+    up to 4x the quota, and counts what it still drops."""
+
+    @staticmethod
+    def _flat_plane_volume(R=64, voxel=0.05):
+        # plane z = 20.3 voxels: every (R-1)^2 column crosses inside ONE
+        # 8-row slab -> ~4 tris/cube land in a single slab
+        idx = np.arange(R, dtype=np.float32)
+        gz = np.meshgrid(idx, idx, idx, indexing="ij")[2]
+        return T.TSDFVolume(
+            tsdf=jnp.asarray(np.clip((gz - 20.3) * voxel, -1, 1)),
+            weight=jnp.ones((R, R, R)), origin=jnp.zeros(3),
+            voxel_size=jnp.float32(voxel), sdf_trunc=jnp.float32(1.0),
+            color=None)
+
+    def test_dense_slab_borrows_global_headroom(self):
+        vol = self._flat_plane_volume()
+        # reference: capacity so large nothing can truncate
+        _, _, n_ref = M.extract_triangle_soup(vol, max_triangles=1 << 18)
+        # 1<<16 over 8 slabs -> uniform quota 8193 < n_ref in one slab;
+        # the 4x borrow covers it
+        soup, valid, n, dropped = M.extract_triangle_soup(
+            vol, max_triangles=1 << 16, with_dropped=True)
+        assert int(n_ref) > (1 << 16) // 8 + 1  # scene defeats the quota
+        assert int(n) == int(n_ref)
+        assert int(dropped) == 0
+        assert int(np.asarray(valid).sum()) == int(n_ref)
+
+    def test_truncation_is_counted_not_silent(self):
+        vol = self._flat_plane_volume()
+        _, _, n_ref = M.extract_triangle_soup(vol, max_triangles=1 << 18)
+        _, valid, n, dropped = M.extract_triangle_soup(
+            vol, max_triangles=1 << 12, with_dropped=True)
+        # still truncates (4x borrow < the slab's demand) but says so
+        assert int(dropped) > 0
+        assert int(n) + int(dropped) >= int(n_ref)
+
+    def test_incremental_mesher_reports_dropped(self):
+        from recon3d_tpu.fusion.incremental import IncrementalMesher
+
+        vol = self._flat_plane_volume()
+        im = IncrementalMesher(resolution=64, max_triangles=1 << 12)
+        im.update(vol)
+        assert im.dropped_triangles > 0
+        im_big = IncrementalMesher(resolution=64, max_triangles=1 << 18)
+        im_big.update(vol)
+        assert im_big.dropped_triangles == 0
+
+
 class TestHashWeld:
     def test_hash_weld_matches_sort_weld(self):
         """The sort-free hash weld must produce the same mesh as the
