@@ -30,6 +30,56 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 
 
+def hb(section, **kv):
+    """Per-section heartbeat. BENCH_r04 timed out after 30 silent minutes
+    because nothing printed before the streaming section; every phase now
+    announces itself so a driver timeout is attributable to a section."""
+    extra = " ".join(f"{k}={v}" for k, v in kv.items())
+    print(f"# [{time.strftime('%H:%M:%S')}] {section} {extra}".rstrip(),
+          flush=True)
+
+
+class _SectionTimeout(Exception):
+    pass
+
+
+class section_guard:
+    """SIGALRM-bounded section: `with section_guard('name', 300):` raises
+    _SectionTimeout (catchable) instead of letting one section silently
+    burn the driver's whole budget. Main thread only; no-op if an alarm
+    is unavailable on the platform."""
+
+    def __init__(self, name, seconds):
+        self.name, self.seconds = name, int(seconds)
+
+    def __enter__(self):
+        import signal
+        hb(f"{self.name}: start", guard_s=self.seconds)
+        try:
+            self._old = signal.signal(signal.SIGALRM, self._fire)
+            signal.alarm(self.seconds)
+            self._armed = True
+        except (ValueError, AttributeError):  # non-main thread / platform
+            self._armed = False
+        self._t0 = time.perf_counter()
+        return self
+
+    def _fire(self, signum, frame):
+        raise _SectionTimeout(self.name)
+
+    def __exit__(self, et, ev, tb):
+        if self._armed:
+            import signal
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, self._old)
+        took = time.perf_counter() - self._t0
+        if et is _SectionTimeout:
+            hb(f"{self.name}: TIMED OUT", after_s=round(took, 1))
+            return False
+        hb(f"{self.name}: done", took_s=round(took, 1))
+        return False
+
+
 def _enable_compile_cache():
     """Point jax at the committed .jax_cache via jax.config, not env vars.
 
@@ -174,6 +224,75 @@ def build_headline(mode: str = "sgm4", p2_mult: float | None = 3.0):
     return frame, (jl, jr, jc, plan, jQ), scene
 
 
+def build_headline_split(scene, mode: str = "sgm4", p2_mult: float = 3.0):
+    """The SAME headline math as build_headline's fused `frame`, chained
+    as three smaller jit programs (front: remap x2 + cost/fwd/down
+    kernels; mid: bwd/vert aggregation + WTA finalize; post: speckle +
+    WLS + color + backproject). Intermediates stay on device — the cost
+    over the fused program is two extra dispatches + the HBM round-trips
+    XLA would have elided.
+
+    This is the cold-cache fallback: round 4 found the freshly-compiled
+    FUSED program pathological on first execution (145 s measured, or
+    wedged) while every stage compiled standalone runs normally; the
+    split reproduces the stage programs, so it stays executable even when
+    the fused composition is not. Returns frame_split(jl, jr, jc, plan,
+    jQ) -> same outputs as the fused frame.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from recon3d_tpu.depth import sgm as _sgm
+    from recon3d_tpu.depth import sgm_pallas as sp
+    from recon3d_tpu.depth import wls_pallas as _wlsp
+    from recon3d_tpu.ops.warp import remap_two_pass_pallas
+    from recon3d_tpu.pointcloud.backproject import backproject_disparity
+
+    W, H, D = scene["W"], scene["H"], scene["D"]
+    HP = sp._ceil_to(H, 64)
+    WP, _ = sp._pick_xtile(W)
+    DP = sp._ceil_to(D, 128)
+    p1 = 8.0 * 25
+    p2 = (32 if p2_mult is None else int(round(32 * p2_mult))) * 25.0
+    ndir = {"sgm3": 3, "sgm4": 4, "sgm8": 8}[mode]
+
+    @jax.jit
+    def front(l, r, pln):
+        lg = remap_two_pass_pallas(l, pln)
+        rg = remap_two_pass_pallas(r, pln)
+        cost, v1 = sp.cost_fwd_down(lg, rg, D, 0, 5, 63, p1, p2,
+                                    HP, WP, DP, ndir >= 4)
+        return cost, v1, lg
+
+    @jax.jit
+    def mid(cost, v1):
+        return sp.aggregate_and_finalize(
+            cost, p1, p2, D, 10, 1, True, W, v1=v1,
+            final_dir="up" if ndir >= 4 else "down",
+            with_diag=ndir == 8)
+
+    @jax.jit
+    def post(disp_raw, valid, lg, color_bgr, Q):
+        disp_raw = disp_raw[:H, :W]
+        valid = valid[:H, :W]
+        valid = _sgm.speckle_filter_fast(disp_raw, valid, 32.0, 50,
+                                         max_disparity=DP)
+        disp = jnp.where(valid, disp_raw, -1.0)
+        dense = _wlsp.wls_refine_pallas(disp, valid, lg[:H, :W])
+        dvalid = dense > 0
+        col = color_bgr[..., ::-1].astype(jnp.float32) / 255.0
+        pc = backproject_disparity(dense, Q, color=col,
+                                   assume_standard_q=True)
+        return pc.points, pc.colors, pc.valid, dense, jnp.sum(dense)
+
+    def frame_split(jl, jr, jc, pln, jQ):
+        cost, v1, lg = front(jl, jr, pln)
+        disp_raw, valid = mid(cost, v1)
+        return post(disp_raw, valid, lg, jc, jQ)
+
+    return frame_split
+
+
 # v5e peaks for the roofline extras (public figures; the clock is the
 # value implied by 197 bf16 TFLOPs over 4 128x128 MXUs)
 V5E_HBM_GBPS = 819.0
@@ -302,6 +421,7 @@ def main():
     from recon3d_tpu.depth import sgm_pallas
     from recon3d_tpu.ops.warp import remap_two_pass_pallas
 
+    hb("build_headline: start")
     frame, (jl, jr, jc, plan, jQ), scene = build_headline()
     W, H, D = scene["W"], scene["H"], scene["D"]
     rect_l, rect_r = scene["rect_l"], scene["rect_r"]
@@ -309,25 +429,55 @@ def main():
     mx, my = scene["mx"], scene["my"]
     raw_l, raw_r = scene["raw_l"], scene["raw_r"]
 
-    t0 = time.perf_counter()
-    out = frame(jl, jr, jc, plan, jQ)
-    _ = float(out[-1])
-    compile_s = time.perf_counter() - t0
+    # Compile + first execution, guarded separately: round-4's driver run
+    # burned its whole 30-minute budget inside the silent first execution
+    # of a freshly-compiled fused frame (cold compile ~40 s, first exec
+    # 145 s measured — or wedged). The guard turns a wedge into an
+    # attributable heartbeat line + fallback instead of a silent timeout.
+    with section_guard("headline compile", 900):
+        t0 = time.perf_counter()
+        compiled = frame.lower(jl, jr, jc, plan, jQ).compile()
+        compile_s = time.perf_counter() - t0
+    frame_exec_s = None
+    try:
+        with section_guard("headline first-exec", 420):
+            t0 = time.perf_counter()
+            out = compiled(jl, jr, jc, plan, jQ)
+            _ = float(out[-1])
+            frame_exec_s = time.perf_counter() - t0
+    except _SectionTimeout:
+        # the fused program wedged on its first run: fall back to the
+        # stage-chained variant (same math, 3 smaller programs) so the
+        # round still records a headline number
+        hb("headline first-exec wedged; falling back to split pipeline")
+        compiled = None
+    headline_program = "fused"
+    if compiled is None:
+        with section_guard("headline split fallback", 900):
+            compiled = build_headline_split(scene)
+            out = compiled(jl, jr, jc, plan, jQ)
+            _ = float(out[-1])
+        headline_program = "split"
 
     n_iters = 60
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = frame(jl, jr, jc, plan, jQ)
-    _ = float(out[-1])  # device round-trip: everything queued has executed
-    dt = time.perf_counter() - t0
+    with section_guard("headline timing", 600):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = compiled(jl, jr, jc, plan, jQ)
+        _ = float(out[-1])  # device round-trip: all queued work executed
+        dt = time.perf_counter() - t0
     fps = n_iters / dt
+    hb("headline", fps=round(fps, 2), program=headline_program,
+       compile_s=round(compile_s, 1),
+       first_exec_s=None if frame_exec_s is None else round(frame_exec_s, 1))
 
     # per-stage device time + roofline utilization (guarded: must never
     # lose the headline line)
     roof = {}
     try:
-        roof = roofline(scene, 1000.0 / fps)
-    except Exception as e:  # pragma: no cover - environment-dependent
+        with section_guard("roofline", 900):
+            roof = roofline(scene, 1000.0 / fps)
+    except (Exception, _SectionTimeout) as e:  # pragma: no cover
         print(f"# roofline extras skipped: {type(e).__name__}", flush=True)
 
     # ---- accuracy (the BASELINE metric): pre-WLS parity vs cv2.StereoSGBM
@@ -336,11 +486,16 @@ def main():
     # measure input quantization, not the matcher)
     to8 = lambda a: np.clip(np.round(a), 0, 255).astype(np.uint8)
     rect_ours_l, rect_ours_r = to8(rect_l), to8(rect_r)
-    disp_p, valid_p = sgm_pallas.sgm_disparity_pallas(
-        jnp.asarray(rect_ours_l, jnp.float32),
-        jnp.asarray(rect_ours_r, jnp.float32),
-        num_disparities=D, block_size=5, num_directions=3)
-    disp_p, valid_p = np.asarray(disp_p), np.asarray(valid_p)
+    disp_p = valid_p = None
+    try:
+        with section_guard("accuracy sgm3 parity", 900):
+            disp_p, valid_p = sgm_pallas.sgm_disparity_pallas(
+                jnp.asarray(rect_ours_l, jnp.float32),
+                jnp.asarray(rect_ours_r, jnp.float32),
+                num_disparities=D, block_size=5, num_directions=3)
+            disp_p, valid_p = np.asarray(disp_p), np.asarray(valid_p)
+    except _SectionTimeout:
+        pass
 
     def cv_disp(mode):
         sgbm = cv2.StereoSGBM_create(
@@ -358,11 +513,13 @@ def main():
     # (depth4.py:157-170), direction set {L,R,down} — exactly sgm3; cv2's
     # default 5-path mode is reported alongside
     mode3 = cv2.STEREO_SGBM_MODE_SGBM_3WAY
-    rmse_cv, both = rmse_vs(cv_disp(mode3))
-    rmse_cv_default, _ = rmse_vs(cv_disp(cv2.STEREO_SGBM_MODE_SGBM))
-    # full 8-path mode: the capability edge the Pallas fast path waives
-    # (tests/test_depth.py::test_direction_count_accuracy_waiver)
-    rmse_cv_hh, _ = rmse_vs(cv_disp(cv2.STEREO_SGBM_MODE_HH))
+    rmse_cv = rmse_cv_default = rmse_cv_hh = both = None
+    if disp_p is not None:
+        rmse_cv, both = rmse_vs(cv_disp(mode3))
+        rmse_cv_default, _ = rmse_vs(cv_disp(cv2.STEREO_SGBM_MODE_SGBM))
+        # full 8-path mode: the capability edge the Pallas fast path
+        # waives (tests/test_depth.py::test_direction_count_accuracy_waiver)
+        rmse_cv_hh, _ = rmse_vs(cv_disp(cv2.STEREO_SGBM_MODE_HH))
     sgbm = cv2.StereoSGBM_create(
         minDisparity=0, numDisparities=D, blockSize=5,
         P1=8 * 25, P2=32 * 25, disp12MaxDiff=1, uniquenessRatio=10,
@@ -650,6 +807,9 @@ def main():
             "includes_remap": True,
             "ms_per_frame": round(1000.0 / fps, 2),
             "compile_s": round(compile_s, 1),
+            "first_exec_s": None if frame_exec_s is None
+            else round(frame_exec_s, 2),
+            "headline_program": headline_program,
             "rmse_vs_cv2_sgbm_px": round(rmse_cv, 4),
             "rmse_vs_cv2_sgbm_5path_px": round(rmse_cv_default, 4),
             "rmse_vs_cv2_sgbm_hh_px": round(rmse_cv_hh, 4),

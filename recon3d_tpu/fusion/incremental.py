@@ -90,8 +90,10 @@ class IncrementalMesher:
         self.batch_k = batch_k
         self.R, self.slab, self.weight_min = R, slab, float(weight_min)
         self.n_slabs = (R - 1) // slab + (1 if (R - 1) % slab else 0)
-        self.cap = min(max_triangles // self.n_slabs + 1,
-                       (R - 1) * (R - 1) * slab * 12)
+        # per-slab cap: the SAME formula as extract_triangle_soup's
+        # (marching.slab_cap) so incremental and full extraction
+        # truncate identically — a 4x-quota borrow, see marching.py
+        self.cap = _marching.slab_cap(R, slab, max_triangles)
         # z-window per slab: start voxel and first-owned corner row (the
         # last slab is shifted in-bounds; z_lo masks the overlap rows)
         self._z0s = np.minimum(np.arange(self.n_slabs) * slab,

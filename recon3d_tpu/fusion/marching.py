@@ -200,6 +200,18 @@ def _slab_tris(vol: TSDFVolume, z0, z_lo, slab: int, cap_per_slab: int,
     return tri, sel, n, total
 
 
+def slab_cap(resolution: int, slab: int, max_triangles: int) -> int:
+    """Per-slab triangle cap shared by the full extractor and the
+    incremental mesher (fusion/incremental.py) — one formula so the two
+    paths truncate identically. 4x the uniform quota (a surface sheet
+    concentrates the soup in the few slabs it crosses), bounded by the
+    global buffer and the geometric cube-count ceiling."""
+    R = resolution
+    n_slabs = (R - 1) // slab + (1 if (R - 1) % slab else 0)
+    quota = max_triangles // n_slabs + 1
+    return min(4 * quota, max_triangles, (R - 1) * (R - 1) * slab * 12)
+
+
 @partial(jax.jit, static_argnames=("max_triangles", "slab", "with_dropped"))
 def extract_triangle_soup(
     vol: TSDFVolume,
@@ -230,9 +242,7 @@ def extract_triangle_soup(
     # cursor still bounds the total. Remaining truncation (slab > 4x
     # quota, or global overflow) is COUNTED and returned when
     # with_dropped is set — no silent caps.
-    quota = max_triangles // n_slabs + 1
-    cap_per_slab = min(4 * quota, max_triangles,
-                       (R - 1) * (R - 1) * slab * 12)
+    cap_per_slab = slab_cap(R, slab, max_triangles)
 
     def slab_tris(z0, z_lo):
         return _slab_tris(vol, z0, z_lo, slab, cap_per_slab, weight_min)

@@ -365,9 +365,65 @@ class TestShardedFusionConsumer:
         np.testing.assert_allclose(np.asarray(wfcs),
                                    np.asarray(jnp.stack(wfcs_seq)),
                                    atol=1e-5)
-        # weighted-sum integrate == sequential integrates up to f32
-        # summation order (weight cap not reached at B=8 < 64)
+        # exact affine-prefix integrate == sequential integrates up to
+        # f32 rounding of the distributed division
         np.testing.assert_allclose(np.asarray(vol_sh.tsdf),
                                    np.asarray(vol_seq.tsdf), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(vol_sh.weight),
                                       np.asarray(vol_seq.weight))
+
+    def test_weight_cap_crossing(self, mesh):
+        """Round-4 caveat closed: voxel weights CROSS weight_max mid-batch
+        (weight_max=2, B=8 frames re-observing the same voxels) and the
+        sharded integrate still matches the sequential capped EMA — the
+        regime where the old all-reduced weighted sum silently diverged
+        (it applied the cap once, at combine time). Poses are FIXED so the
+        comparison isolates the integrate math from odometry/inv rounding
+        (batched vs single matrix inverse differ at ulp level, which can
+        flip a projected pixel)."""
+        from recon3d_tpu.camera.fake import SyntheticRGBDCamera
+        from recon3d_tpu.fusion import tsdf as _tsdf
+        from recon3d_tpu.parallel.fusion import integrate_frames_exact
+        from recon3d_tpu.utils.types import CameraIntrinsics
+
+        W_MAX = 2.0
+        cam = SyntheticRGBDCamera(width=96, height=80, fx=80.0, fy=80.0,
+                                  n_frames=N_DEV)
+        cam.open()
+        frames = [cam.grab() for _ in range(N_DEV)]
+        cam.close()
+        intr = CameraIntrinsics(fx=jnp.float32(80.0), fy=jnp.float32(80.0),
+                                cx=jnp.float32(96 / 2 - 0.5),
+                                cy=jnp.float32(80 / 2 - 0.5))
+        colors = jnp.stack([jnp.asarray(c) for c, _ in frames])
+        depths = jnp.stack([jnp.asarray(d) for _, d in frames])
+        # small fixed camera jitters: same arithmetic on both paths
+        exts = jnp.stack([
+            jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.002 * b)
+            for b in range(N_DEV)])
+
+        def mk_vol():
+            return _tsdf.make_volume(
+                48, voxel_size=0.02, sdf_trunc=0.1,
+                origin=(-0.5, -0.5, 0.5), with_color=True)
+
+        vol_sh = integrate_frames_exact(
+            mk_vol(), depths, exts, intr, mesh, colors=colors,
+            weight_max=W_MAX)
+
+        vol_seq = mk_vol()
+        for b in range(N_DEV):
+            vol_seq = _tsdf.integrate(
+                vol_seq, depths[b], intr, exts[b],
+                color=colors[b], weight_max=W_MAX)
+        # the surface shell is hit every frame: confirm the cap really
+        # was crossed mid-batch (else this test wouldn't bite)
+        n_capped = int(np.asarray(
+            jnp.sum(vol_seq.weight >= W_MAX)))
+        assert n_capped > 100, f"cap never crossed ({n_capped} voxels)"
+        np.testing.assert_allclose(np.asarray(vol_sh.tsdf),
+                                   np.asarray(vol_seq.tsdf), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(vol_sh.weight),
+                                      np.asarray(vol_seq.weight))
+        np.testing.assert_allclose(np.asarray(vol_sh.color),
+                                   np.asarray(vol_seq.color), atol=2e-5)
