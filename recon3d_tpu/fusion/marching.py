@@ -253,19 +253,26 @@ def extract_triangle_soup(
         tri_c, val_c, n, tot = slab_tris(z0, i * slab)
         pos = cursor + jnp.arange(cap_per_slab)
         # triangles past the global buffer collapse onto the last row
-        # (last write wins) — count them as dropped too
-        over = jnp.maximum(
-            jnp.sum(val_c & (pos >= max_triangles), dtype=jnp.int32) - 1, 0)
+        # (last write wins); they are counted AFTER the scan from the
+        # final cursor — exact even when several slabs spill (per-slab
+        # `sum - 1` accounting undercounted the clobbered survivors)
         pos = jnp.where(val_c, jnp.minimum(pos, max_triangles - 1), max_triangles - 1)
         out_tri = out_tri.at[pos].set(jnp.where(val_c[:, None, None], tri_c, out_tri[pos]))
         out_val = out_val.at[pos].max(val_c)
-        return (out_tri, out_val, cursor + n, dropped + (tot - n) + over), None
+        return (out_tri, out_val, cursor + n, dropped + (tot - n)), None
 
     out_tri = jnp.zeros((max_triangles, 3, 3), jnp.float32)
     out_val = jnp.zeros((max_triangles,), bool)
     (out_tri, out_val, count, dropped), _ = jax.lax.scan(
         body, (out_tri, out_val, jnp.asarray(0, jnp.int32),
                jnp.asarray(0, jnp.int32)), jnp.arange(n_slabs))
+    # slabs write contiguous [cursor, cursor+n) windows clipped to the
+    # last row, so exactly max(count - max_triangles, 0) triangles were
+    # clobbered; the returned count is clamped to the buffer (valid rows
+    # = count; true emitted total recoverable as count + dropped)
+    over = jnp.maximum(count - max_triangles, 0)
+    count = jnp.minimum(count, max_triangles)
+    dropped = dropped + over
     if with_dropped:
         return out_tri, out_val, count, dropped
     return out_tri, out_val, count

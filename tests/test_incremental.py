@@ -186,3 +186,13 @@ class TestIncrementalMesher:
         vh, th = _canon_mesh(mh, 0.04 / 256.0)
         np.testing.assert_allclose(vd, vh, atol=1e-6)
         np.testing.assert_array_equal(td, th)
+
+
+def test_slab_cap_shared_between_paths():
+    """Round-4 regression class: the incremental mesher's per-slab cap
+    MUST be computed by the same formula as extract_triangle_soup's
+    (marching.slab_cap) — a one-sided cap change silently breaks the
+    incremental == full-extract contract on dense slabs."""
+    for R, mt in ((96, 1 << 15), (256, 1 << 19), (64, 1 << 14)):
+        im = I.IncrementalMesher(resolution=R, max_triangles=mt)
+        assert im.cap == M.slab_cap(R, im.slab, mt), (R, mt)

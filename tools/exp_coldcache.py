@@ -101,14 +101,48 @@ def main():
         def fn(l, pln):
             return jnp.sum(remap_two_pass_pallas(l, pln))
         fa = (jl, plan)
+    elif stage in (6, 7, 8):
+        from recon3d_tpu.depth import sgm_pallas as sp
+        H, W = scene["H"], scene["W"]
+        HP = sp._ceil_to(H, 64)
+        WP, _ = sp._pick_xtile(W)
+        DP = sp._ceil_to(D, 128)
+        p1, p2 = 8.0 * 25, 96.0 * 25
+        wl = remap_two_pass_pallas(jl, plan)
+        wr = remap_two_pass_pallas(jr, plan)
+        cfd = jax.jit(lambda l, r: sp.cost_fwd_down(
+            l, r, D, 0, 5, 63, p1, p2, HP, WP, DP, True))
+        agg = jax.jit(lambda c, v: sp.aggregate_and_finalize(
+            c, p1, p2, D, 10, 1, True, W, v1=v, final_dir="up"))
+        if stage == 6:
+            fn = cfd
+            fa = (wl, wr)
+        elif stage == 7:
+            cost, v1 = cfd(wl, wr)
+            _ = float(jnp.sum(v1))
+            hb("stage7: cost_fwd_down warmed; timing aggregate alone")
+            fn = agg
+            fa = (cost, v1)
+        else:  # 8: the split chain, both programs fresh in one process
+            def fn(l, r):
+                c, v = cfd(l, r)
+                d, vv = agg(c, v)
+                return jnp.sum(d)
+            fa = (wl, wr)
+        # NOTE: no outer jit — nesting would inline the pieces back into
+        # one program and defeat the split measurement
 
-    hb(f"stage={stage} lowering...")
-    t0 = time.time()
-    lowered = fn.lower(*fa)
-    hb(f"lowered in {time.time()-t0:.1f}s; compiling...")
-    t0 = time.time()
-    compiled = lowered.compile()
-    hb(f"compiled in {time.time()-t0:.1f}s; first exec...")
+    if hasattr(fn, "lower"):
+        hb(f"stage={stage} lowering...")
+        t0 = time.time()
+        lowered = fn.lower(*fa)
+        hb(f"lowered in {time.time()-t0:.1f}s; compiling...")
+        t0 = time.time()
+        compiled = lowered.compile()
+        hb(f"compiled in {time.time()-t0:.1f}s; first exec...")
+    else:  # plain chain of jitted pieces: first call compiles + runs
+        hb(f"stage={stage} chain: first call compiles+executes...")
+        compiled = fn
     t0 = time.time()
     out = compiled(*fa)
     s = float(jnp.sum(out[-1] if isinstance(out, tuple) else out))

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""End-of-round gate: refuse to snapshot unless the suite and the bench
+smoke both pass (VERDICT r4 'next round' #3).
+
+Round 4 shipped its final commit with the suite red (the incremental-cap
+regression landed minutes before the snapshot, untested) and with the
+headline program's cache key shifted by an unrelated static_argnames
+change — the driver bench then cache-missed, recompiled, and wedged for
+its whole 30-minute budget. This gate makes both failure modes loud
+BEFORE the round ends:
+
+  1. full test suite on CPU (subprocess; conftest pins the platform)
+  2. TPU headline smoke: AOT-compile bench.build_headline()'s fused
+     frame, assert the persistent cache HIT for it (else compile+write =
+     re-warm, and report that the committed cache was stale), execute 3
+     guarded frames, check fps sanity
+  3. README freshness (tools/gen_perf_docs.py --check)
+  4. `git status` must be clean of .jax_cache churn after 1-2
+
+Usage: python tools/preflight.py [--skip-suite] [--skip-tpu]
+Writes a PREFLIGHT.log at the repo root (committed with the snapshot) and
+exits nonzero on any failure.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+_LOG_PATH = os.path.join(_REPO, "PREFLIGHT.log")
+_LOG_LINES = []
+
+
+def log(msg):
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    _LOG_LINES.append(line)
+
+
+def flush_log():
+    with open(_LOG_PATH, "w") as f:
+        f.write("\n".join(_LOG_LINES) + "\n")
+
+
+def run_suite() -> bool:
+    log("suite: running full pytest (CPU)...")
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
+        cwd=_REPO, capture_output=True, text=True, timeout=3600)
+    tail = "\n".join((r.stdout or "").strip().splitlines()[-5:])
+    log(f"suite: rc={r.returncode} in {time.time() - t0:.0f}s\n{tail}")
+    return r.returncode == 0
+
+
+class _CacheStats(logging.Handler):
+    def __init__(self):
+        super().__init__(level=logging.DEBUG)
+        self.miss = self.hit = 0
+
+    def emit(self, record):
+        msg = record.getMessage()
+        if "PERSISTENT COMPILATION CACHE MISS" in msg:
+            self.miss += 1
+        elif "Persistent compilation cache hit" in msg:
+            self.hit += 1
+
+
+def run_tpu_smoke() -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    stats = _CacheStats()
+    for name in ("jax._src.compiler", "jax._src.compilation_cache"):
+        lg = logging.getLogger(name)
+        lg.setLevel(logging.DEBUG)
+        lg.addHandler(stats)
+
+    bench._enable_compile_cache()
+    if jax.default_backend() not in ("tpu",):
+        log(f"tpu-smoke: backend is {jax.default_backend()}, not tpu — "
+            "run this leg on the chip")
+        return False
+
+    log("tpu-smoke: building headline program...")
+    frame, fargs, scene = bench.build_headline()
+    t0 = time.time()
+    compiled = frame.lower(*fargs).compile()
+    compile_s = time.time() - t0
+    cache_ok = stats.miss == 0 and stats.hit >= 1
+    log(f"tpu-smoke: compiled in {compile_s:.1f}s "
+        f"(cache hits={stats.hit} misses={stats.miss})")
+    if not cache_ok:
+        log("tpu-smoke: headline program MISSED the committed cache — the "
+            "compile above re-warmed it; commit the new .jax_cache entries "
+            "(the driver bench would have paid this compile + the cold "
+            "first-exec penalty)")
+
+    ok_exec = True
+    try:
+        with bench.section_guard("preflight first-exec", 420):
+            t0 = time.time()
+            out = compiled(*fargs)
+            _ = float(out[-1])
+            log(f"tpu-smoke: first exec {time.time() - t0:.1f}s")
+    except bench._SectionTimeout:
+        log("tpu-smoke: first exec WEDGED (>420s) — the fused program is "
+            "pathological under the current toolchain; bench will fall "
+            "back to the split pipeline")
+        ok_exec = False
+    if ok_exec:
+        t0 = time.time()
+        for _ in range(3):
+            out = compiled(*fargs)
+        _ = float(out[-1])
+        ms = (time.time() - t0) / 3 * 1e3
+        log(f"tpu-smoke: steady {ms:.1f} ms/frame ({1000.0 / ms:.1f} fps)")
+        if ms > 100.0:
+            log("tpu-smoke: WARNING steady frame above 100 ms")
+    return ok_exec and cache_ok
+
+
+def check_readme() -> bool:
+    r = subprocess.run(
+        [sys.executable, "tools/gen_perf_docs.py", "--check"],
+        cwd=_REPO, capture_output=True, text=True, timeout=900)
+    log(f"readme-check: rc={r.returncode} {(r.stdout or '').strip()}")
+    return r.returncode == 0
+
+
+def check_git_clean() -> bool:
+    r = subprocess.run(["git", "status", "--porcelain"],
+                       cwd=_REPO, capture_output=True, text=True)
+    dirty = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    cache_dirty = [ln for ln in dirty if ".jax_cache" in ln]
+    log(f"git-clean: {len(dirty)} dirty paths "
+        f"({len(cache_dirty)} cache churn)")
+    for ln in dirty[:10]:
+        log(f"  {ln}")
+    return not cache_dirty
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-suite", action="store_true")
+    ap.add_argument("--skip-tpu", action="store_true")
+    args = ap.parse_args()
+
+    results = {}
+    if not args.skip_suite:
+        results["suite"] = run_suite()
+    if not args.skip_tpu:
+        results["tpu_smoke"] = run_tpu_smoke()
+    results["readme"] = check_readme()
+    results["git_cache_clean"] = check_git_clean()
+
+    ok = all(results.values())
+    log(f"PREFLIGHT {'PASS' if ok else 'FAIL'}: "
+        + " ".join(f"{k}={'ok' if v else 'FAIL'}"
+                   for k, v in results.items()))
+    flush_log()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,6 +46,38 @@ class _CacheStats(logging.Handler):
             self.disabled += 1
 
 
+def _compile_bench_programs(bench, scene) -> int:
+    """Compile-only warm of every standalone program bench.py executes
+    besides the fused frame: the roofline stage programs and the two
+    accuracy/cross-check SGM configurations. Shapes only — nothing runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from recon3d_tpu.depth import sgm_pallas
+
+    n = 0
+    for name, fn, fargs in bench.roofline_programs(scene):
+        t0 = time.perf_counter()
+        fn.lower(*fargs).compile()
+        print(f"  {name}: {time.perf_counter() - t0:.1f}s", flush=True)
+        n += 1
+    W, H, D = scene["W"], scene["H"], scene["D"]
+    img = jax.ShapeDtypeStruct((H, W), jnp.float32)
+    for kw in (
+        # accuracy parity + mode-matched cross-check (sgm3 defaults)
+        dict(num_disparities=D, block_size=5, num_directions=3),
+        # production-config cross-check (ours_match ndir=4, P2x3)
+        dict(num_disparities=D, block_size=5, num_directions=4,
+             p2=96.0 * 25.0),
+    ):
+        t0 = time.perf_counter()
+        sgm_pallas.sgm_disparity_pallas.lower(img, img, **kw).compile()
+        print(f"  sgm_disparity_pallas {kw.get('num_directions')}dir: "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        n += 1
+    return n
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streaming", action="store_true",
@@ -71,17 +103,24 @@ def main() -> int:
     print(f"backend: {jax.default_backend()} ({jax.devices()[0]})",
           flush=True)
 
+    # COMPILE-ONLY warming: the persistent cache is written at compile
+    # time, and a later process that HITS the cache pays neither the
+    # compile nor the axon platform's first-execution penalty (~2 min per
+    # fresh executable, measured in tools/exp_coldcache.py round 5 —
+    # first exec 116 s even for the 2-kernel remap program, 145 s for the
+    # fused frame; a cache-hit run recorded compile_s=6.6 TOTAL in
+    # BENCH_r03). Executing here would cost this process ~2 min per
+    # program and buy nothing for the cache.
     t0 = time.perf_counter()
     frame, fargs, scene = bench.build_headline()
-    out = frame(*fargs)
-    _ = float(out[-1])
-    print(f"headline frame program ready in {time.perf_counter() - t0:.1f}s",
-          flush=True)
+    frame.lower(*fargs).compile()
+    print(f"headline frame program compiled in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    roof = bench.roofline(scene, 0.0)  # compiles the per-stage programs
-    print(f"roofline stage programs ready in {time.perf_counter() - t0:.1f}s "
-          f"({roof['stage_sum_ms']} ms summed)", flush=True)
+    n = _compile_bench_programs(bench, scene)
+    print(f"{n} bench stage/accuracy programs compiled in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
 
     if args.streaming:
         from recon3d_tpu.camera.fake import FakeRGBDCamera
