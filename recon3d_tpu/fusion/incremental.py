@@ -81,7 +81,8 @@ class IncrementalMesher:
     """
 
     def __init__(self, resolution: int, slab: int = 8,
-                 max_triangles: int = 1 << 19, weight_min: float = 1.0,
+                 max_triangles: Optional[int] = None,
+                 weight_min: float = 1.0,
                  table_bits: Optional[int] = None, probes: int = 16,
                  batch_k: int = 8):
         R = resolution
@@ -90,6 +91,12 @@ class IncrementalMesher:
         self.batch_k = batch_k
         self.R, self.slab, self.weight_min = R, slab, float(weight_min)
         self.n_slabs = (R - 1) // slab + (1 if (R - 1) % slab else 0)
+        if max_triangles is None:
+            # the SAME resolution-scaled default as
+            # marching.extract_triangle_mesh: equality between the
+            # incremental mesh and a default full extract requires the
+            # two budgets (hence caps) to agree
+            max_triangles = _marching.default_max_triangles(R)
         # per-slab cap: the SAME formula as extract_triangle_soup's
         # (marching.slab_cap) so incremental and full extraction
         # truncate identically — a 4x-quota borrow, see marching.py
@@ -99,11 +106,15 @@ class IncrementalMesher:
         self._z0s = np.minimum(np.arange(self.n_slabs) * slab,
                                R - 1 - slab).astype(np.int32)
         self._z_los = (np.arange(self.n_slabs) * slab).astype(np.int32)
-        # weld table ~4x the soup's triangle capacity: unique vertices
-        # run ~tris/2, so the load stays well under 0.25
+        # weld table ~4x the GLOBAL triangle budget: unique vertices run
+        # ~tris/2, so the load stays well under 0.25. Keyed on
+        # max_triangles, NOT n_slabs*cap — the 4x per-slab borrow is a
+        # distribution allowance, not a 4x total budget, and sizing on it
+        # quadrupled the table (982 s suite test at round-5 head); a
+        # pathological every-slab-spills scene degrades to higher load
+        # and is caught by the probe-failure health counter + rebuild
         if table_bits is None:
-            table_bits = max(14, (self.n_slabs * self.cap * 4 - 1)
-                             .bit_length())
+            table_bits = max(14, (max_triangles * 4 - 1).bit_length())
         self.table_bits, self.probes = table_bits, probes
         S = 1 << table_bits
         self.cache = MeshCache(

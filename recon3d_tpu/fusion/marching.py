@@ -200,6 +200,15 @@ def _slab_tris(vol: TSDFVolume, z0, z_lo, slab: int, cap_per_slab: int,
     return tri, sel, n, total
 
 
+def default_max_triangles(resolution: int) -> int:
+    """Resolution-scaled triangle budget shared by extract_triangle_mesh
+    and IncrementalMesher (fusion/incremental.py) — ONE formula so their
+    default caps (and therefore truncation behavior) agree. R^3/4 gives
+    ~4x headroom over a flat sheet's ~2*R^2 triangles concentrated in a
+    couple of z-slabs, and clamps to the production 1<<19 at R=256."""
+    return max(1 << 14, min(1 << 19, resolution ** 3 // 4))
+
+
 def slab_cap(resolution: int, slab: int, max_triangles: int) -> int:
     """Per-slab triangle cap shared by the full extractor and the
     incremental mesher (fusion/incremental.py) — one formula so the two
@@ -485,9 +494,12 @@ def _orient_by_gradient(vol: TSDFVolume, soup: jax.Array) -> jax.Array:
     return jnp.where(flip[:, None, None], flipped, soup)
 
 
-def extract_triangle_mesh(vol: TSDFVolume, max_triangles: int = 1 << 19,
+def extract_triangle_mesh(vol: TSDFVolume,
+                          max_triangles: Optional[int] = None,
                           weight_min: float = 1.0) -> TriangleMesh:
     """ScalableTSDFVolume.extract_triangle_mesh equivalent (mini1.py:357-360)."""
+    if max_triangles is None:
+        max_triangles = default_max_triangles(vol.resolution)
     soup, valid, _ = extract_triangle_soup(vol, max_triangles=max_triangles,
                                            weight_min=weight_min)
     soup = _orient_by_gradient(vol, soup)
