@@ -687,6 +687,7 @@ def main():
     streaming_fps = streaming_step_ms = streaming_put_ms = None
     capture_fps = odometry_failures = mesh_clean_ms = None
     mesh_extract_ms = mesh_full_cached_ms = mesh_incr_ms = None
+    streaming_fps_resident = None
     # guard armed without `with` to keep the long body's indentation
     _sg = section_guard("streaming + mesh extras", 1800)
     _sg.__enter__()
@@ -742,8 +743,10 @@ def main():
 
         # attribute the threaded number: time the fused odometry+integrate
         # device program and the per-frame host->HBM transfer in isolation.
-        # On the tunneled axon chip the RPC transfer dominates the threaded
-        # fps; these two extras separate device capability from link cost.
+        # On the tunneled axon chip the ~44 MB/s link is the throughput
+        # ceiling (a 30 fps u16-wire VGA stream needs 45 MB/s; a
+        # host-attached TPU's PCIe makes this a non-issue) — these extras
+        # separate device capability from link cost.
         if sf._state is not None and sf._step is None:
             # all steady-state frames may have gone through the batched
             # program; the isolation measurement needs the per-frame step
@@ -751,11 +754,11 @@ def main():
         if sf._step is not None and sf._state is not None:
             s_cam2 = FakeRGBDCamera("/root/reference/test/output")
             s_cam2.open()
-            f_c, f_d = s_cam2.grab()
+            f_c, f_d = s_cam2.grab_raw()  # the wire format (u8, u16)
             t0 = time.perf_counter()
             for _i in range(10):
                 dc, dd = jax.device_put(f_c), jax.device_put(f_d)
-            _ = float(jnp.sum(dd))
+            _ = float(jnp.sum(dd.astype(jnp.float32)))
             streaming_put_ms = round((time.perf_counter() - t0) / 10 * 1e3,
                                      2)
             vol, st = sf.volume, sf._state
@@ -769,6 +772,37 @@ def main():
             _ = float(jnp.sum(wfc))
             streaming_step_ms = round((time.perf_counter() - t0) / 10 * 1e3,
                                       2)
+
+            # device-resident replay: preload 3 stacked 8-frame batches
+            # once, then run the batched track+integrate program over
+            # them with NO host->device traffic in the window. This is
+            # the PIPELINE's sustained capability; the threaded
+            # streaming_fps above additionally rides the dev tunnel
+            # (~44 MB/s — less than a 30 fps stream's 45 MB/s wire
+            # rate; a host-attached TPU's PCIe link makes the two
+            # numbers converge).
+            s_cam2._i = 0
+            batches = []
+            for _b in range(3):
+                fr = [s_cam2.grab_raw() for _k in range(8)]
+                batches.append((
+                    jax.device_put(np.stack([c for c, _ in fr])),
+                    jax.device_put(np.stack([d for _, d in fr]))))
+            s_cam2.close()
+            B8 = sf._step_batches.get(8)
+            if B8 is None:
+                B8 = sf._step_batches[8] = sf._build_step_batch(
+                    ScannerConfig().fusion)
+            vol, st, wfcs, _h = B8(vol, st, *batches[0])  # warm
+            _ = float(jnp.sum(wfcs))
+            t0 = time.perf_counter()
+            rounds = 8
+            for _r in range(rounds):
+                for bc, bd in batches:
+                    vol, st, wfcs, _h = B8(vol, st, bc, bd)
+            _ = float(jnp.sum(wfcs))
+            streaming_fps_resident = round(
+                rounds * 3 * 8 / (time.perf_counter() - t0), 2)
 
             # fused volume -> triangle mesh (marching tetrahedra) on-device:
             # the streaming pipeline's mesh-extraction stage (check90.py's
@@ -885,6 +919,7 @@ def main():
             "normals_1m_ms": ms_n1m,
             "normals_10m_ms": ms_n10m,
             "streaming_fps": streaming_fps,
+            "streaming_fps_resident": streaming_fps_resident,
             "capture_fps": capture_fps,
             "odometry_failures": odometry_failures,
             "streaming_step_ms": streaming_step_ms,

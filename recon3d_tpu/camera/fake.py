@@ -89,12 +89,18 @@ class FakeRGBDCamera(Camera):
     def _decode_ahead(self, chunk: int = 16) -> None:
         """Background ring decoder: fills the frame cache in chunks through
         the native batch loader (thread-pool inflate), falling back to
-        per-file decodes when the native library is unavailable."""
+        per-file decodes when the native library is unavailable.
+
+        The cache holds SENSOR dtypes (color u8, depth u16 millimeters):
+        grab() converts to float32 meters per call, grab_raw() hands the
+        u16 out directly so the streaming producer can ship 1.5 MB/frame
+        over the host->device link instead of 2.1 (the device converts —
+        same f32 divide, bitwise-identical result)."""
         from recon3d_tpu.utils import io, native
 
         try:
             c0 = io.read_color(self._pairs[0][0])
-            d0 = io.read_depth(self._pairs[0][1], self.depth_scale)
+            d0 = io.read_depth_raw(self._pairs[0][1])
             with self._cv:
                 self._cache[0] = (c0, d0)
                 self._cv.notify_all()
@@ -107,11 +113,10 @@ class FakeRGBDCamera(Camera):
                 batch = native.load_rgbd_batch(cp, dp, w, h)
                 if batch is not None:
                     colors, depths = batch
-                    dec = [(colors[k],
-                            depths[k].astype(np.float32) / self.depth_scale)
+                    dec = [(colors[k], depths[k])
                            for k in range(len(sub))]
                 else:
-                    dec = [(io.read_color(c), io.read_depth(d, self.depth_scale))
+                    dec = [(io.read_color(c), io.read_depth_raw(d))
                            for c, d in sub]
                 with self._cv:
                     for k, fr in enumerate(dec):
@@ -125,7 +130,11 @@ class FakeRGBDCamera(Camera):
     def __len__(self) -> int:
         return len(self._pairs)
 
-    def grab(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    def grab_raw(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """(color u8, depth u16 raw units) — the sensor wire format. The
+        streaming producer ships this over the host->device link (1.5 MB
+        vs 2.1 MB per VGA frame) and the fused device step divides by
+        depth_scale on-device (identical f32 math to grab())."""
         from recon3d_tpu.utils import io
 
         if self._i >= len(self._pairs):
@@ -142,7 +151,14 @@ class FakeRGBDCamera(Camera):
                     return self._cache[idx]
                 raise self._decode_error
         c, d = self._pairs[idx]
-        return io.read_color(c), io.read_depth(d, self.depth_scale)
+        return io.read_color(c), io.read_depth_raw(d)
+
+    def grab(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        raw = self.grab_raw()
+        if raw is None:
+            return None
+        c, d = raw
+        return c, d.astype(np.float32) / self.depth_scale
 
 
 def _render_sphere_plane(fx, fy, cx, cy, h, w, pose):

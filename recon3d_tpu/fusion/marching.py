@@ -209,25 +209,31 @@ def default_max_triangles(resolution: int) -> int:
     return max(1 << 14, min(1 << 19, resolution ** 3 // 4))
 
 
-def slab_cap(resolution: int, slab: int, max_triangles: int) -> int:
+def slab_cap(resolution: int, slab: int, max_triangles: int,
+             mult: int = 4) -> int:
     """Per-slab triangle cap shared by the full extractor and the
     incremental mesher (fusion/incremental.py) — one formula so the two
-    paths truncate identically. 4x the uniform quota (a surface sheet
-    concentrates the soup in the few slabs it crosses), bounded by the
-    global buffer and the geometric cube-count ceiling."""
+    paths truncate identically. `mult`x the uniform quota (a surface
+    sheet concentrates the soup in the few slabs it crosses), bounded by
+    the global buffer and the geometric cube-count ceiling. The per-slab
+    gather/compact work scales with the cap, so extract_triangle_mesh
+    first tries mult=1 and only re-runs at mult=4 when triangles were
+    actually dropped."""
     R = resolution
     n_slabs = (R - 1) // slab + (1 if (R - 1) % slab else 0)
     quota = max_triangles // n_slabs + 1
-    return min(4 * quota, max_triangles, (R - 1) * (R - 1) * slab * 12)
+    return min(mult * quota, max_triangles, (R - 1) * (R - 1) * slab * 12)
 
 
-@partial(jax.jit, static_argnames=("max_triangles", "slab", "with_dropped"))
+@partial(jax.jit, static_argnames=("max_triangles", "slab", "with_dropped",
+                                   "cap_mult"))
 def extract_triangle_soup(
     vol: TSDFVolume,
     max_triangles: int = 1 << 19,
     weight_min: float = 1.0,
     slab: int = 8,
     with_dropped: bool = False,
+    cap_mult: int = 4,
 ):
     """TSDF -> triangle soup (T, 3, 3) positions + (T,) validity.
 
@@ -251,7 +257,7 @@ def extract_triangle_soup(
     # cursor still bounds the total. Remaining truncation (slab > 4x
     # quota, or global overflow) is COUNTED and returned when
     # with_dropped is set — no silent caps.
-    cap_per_slab = slab_cap(R, slab, max_triangles)
+    cap_per_slab = slab_cap(R, slab, max_triangles, mult=cap_mult)
 
     def slab_tris(z0, z_lo):
         return _slab_tris(vol, z0, z_lo, slab, cap_per_slab, weight_min)
@@ -497,11 +503,24 @@ def _orient_by_gradient(vol: TSDFVolume, soup: jax.Array) -> jax.Array:
 def extract_triangle_mesh(vol: TSDFVolume,
                           max_triangles: Optional[int] = None,
                           weight_min: float = 1.0) -> TriangleMesh:
-    """ScalableTSDFVolume.extract_triangle_mesh equivalent (mini1.py:357-360)."""
+    """ScalableTSDFVolume.extract_triangle_mesh equivalent (mini1.py:357-360).
+
+    Adaptive per-slab cap: the soup scan's gather/compact work scales
+    with the cap, so the common case runs at the 1x uniform quota and
+    only scenes that actually DROP triangles (a surface sheet
+    concentrated in few z-slabs) re-run at the 4x borrowing cap — one
+    scalar device round-trip decides. Results at either cap agree with
+    the incremental mesher whenever nothing was dropped (no truncation
+    on any path), and at 4x the caps are identical by construction."""
     if max_triangles is None:
         max_triangles = default_max_triangles(vol.resolution)
-    soup, valid, _ = extract_triangle_soup(vol, max_triangles=max_triangles,
-                                           weight_min=weight_min)
+    soup, valid, _, dropped = extract_triangle_soup(
+        vol, max_triangles=max_triangles, weight_min=weight_min,
+        with_dropped=True, cap_mult=1)
+    if int(dropped) > 0:
+        soup, valid, _ = extract_triangle_soup(
+            vol, max_triangles=max_triangles, weight_min=weight_min,
+            cap_mult=4)
     soup = _orient_by_gradient(vol, soup)
     # origin-anchored quantization so groupings agree with the incremental
     # mesher's persistent weld table over the same volume

@@ -63,6 +63,14 @@ class StreamingFusion:
         self.camera = camera
         self.intrinsics = intrinsics
         self.config = config
+        # u16-wire streaming: cameras exposing grab_raw() ship
+        # (u8 color, u16 depth) over the host->device link and the fused
+        # step divides by this scale on device (StreamConfig.depth_scale
+        # semantics, camera's own scale wins when it has one)
+        self._depth_scale = float(
+            getattr(camera, "depth_scale", None)
+            or getattr(getattr(config, "stream", None), "depth_scale", None)
+            or 1000.0)
         self.logger = make_logger("fusion", config.output_dir)
         self.queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self.stop_event = threading.Event()
@@ -168,6 +176,10 @@ class StreamingFusion:
             except queue.Full:
                 pass  # drop under backpressure (bounded queue)
 
+        # u16 wire format when the camera supports it: 1.5 MB/frame over
+        # the link instead of 2.1 — the tunneled host->device path runs
+        # ~44 MB/s, so wire bytes ARE the streaming throughput ceiling
+        grab = getattr(self.camera, "grab_raw", None) or self.camera.grab
         first = True
         while not self.stop_event.is_set():
             if self._max_frames is not None and queued + len(pend) >= self._max_frames:
@@ -175,7 +187,7 @@ class StreamingFusion:
                 # fuse (the consumer drains before honoring stop_event)
                 break
             try:
-                frame = self.camera.grab()
+                frame = grab()
             except Exception:
                 # dying camera ends the stream instead of silently killing
                 # this thread (check7.py retry/teardown pattern); frames
@@ -300,7 +312,15 @@ class StreamingFusion:
         mesher = self.mesher
         eye = jnp.eye(4, dtype=jnp.float32)
 
+        depth_scale = self._depth_scale
+
         def step(volume, state: _TrackState, color, depth):
+            if depth.dtype != jnp.float32:
+                # u16 wire depth -> f32 meters ON DEVICE: the producer
+                # ships sensor dtypes (1.5 MB vs 2.1 MB per VGA frame
+                # over the host->device link) and this divide is the
+                # same f32 op grab() runs on host — bitwise identical
+                depth = depth.astype(jnp.float32) / jnp.float32(depth_scale)
             if depth_filters is not None:
                 depth = depth_filters(depth)
             cur = RGBDImage(color=color, depth=depth)
@@ -437,6 +457,8 @@ class StreamingFusion:
     def _fuse_one(self, color, depth, cfg):
         color = jnp.asarray(color)
         depth = jnp.asarray(depth)
+        if depth.dtype != jnp.float32:  # u16 wire format (see __init__)
+            depth = depth.astype(jnp.float32) / jnp.float32(self._depth_scale)
         if self._state is None:
             # first frame: integrate at identity, seat the keyframe
             if self.depth_filters is not None:
@@ -487,8 +509,21 @@ class StreamingFusion:
         The real volume and tracking state are untouched.
         """
         cfg = self.config.fusion
+        import numpy as _np
+
+        # warm the programs with the WIRE dtype the producer will ship:
+        # u16 when the camera exposes grab_raw (values are sacrificial,
+        # only the avals matter), f32 otherwise
+        depth = _np.asarray(depth)
+        if (self.camera is not None
+                and hasattr(self.camera, "grab_raw")
+                and depth.dtype != _np.uint16):
+            depth = _np.clip(depth * self._depth_scale, 0,
+                             65535).astype(_np.uint16)
         color = jax.device_put(color)
         depth = jax.device_put(depth)
+        depth_f32 = depth if depth.dtype == jnp.float32 else (
+            depth.astype(jnp.float32) / jnp.float32(self._depth_scale))
         if self._step is None:
             self._step = self._build_step(cfg)
         for B in self._batch_sizes:
@@ -498,8 +533,8 @@ class StreamingFusion:
         vol = jax.tree.map(jnp.copy, self.volume)
         # frame 0 of a real scan runs integrate_donated (+ depth filters)
         # rather than _step: compile that path too, on the sacrificial copy
-        wdepth = depth if self.depth_filters is None \
-            else self.depth_filters(depth)
+        wdepth = depth_f32 if self.depth_filters is None \
+            else self.depth_filters(depth_f32)
         vol = _tsdf.integrate_donated(
             vol, wdepth, self.intrinsics, eye,
             color=color if cfg.color else None,
@@ -507,7 +542,7 @@ class StreamingFusion:
         state = _TrackState(
             world_from_cam=eye, world_from_key=jnp.copy(eye),
             rel_init=jnp.copy(eye), key_color=jnp.copy(color),
-            key_depth=jnp.copy(depth), failures=jnp.zeros((), jnp.int32),
+            key_depth=jnp.copy(depth_f32), failures=jnp.zeros((), jnp.int32),
             last_inliers=jnp.ones(()), last_success=jnp.asarray(True))
         vol, state, wfc, _h = self._step(vol, state, color, depth)
         for B, batch in self._step_batches.items():

@@ -264,12 +264,10 @@ def read_color(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
-def read_depth(path: str, depth_scale: float = 1000.0) -> np.ndarray:
-    """Read a 16-bit depth PNG -> (H,W) float32 meters.
-
-    The reference saves depth as uint16 PNG in millimeters and divides by
-    depth_scale=1000 on load (mini1.py:147-151 convert defaults).
-    """
+def read_depth_raw(path: str) -> np.ndarray:
+    """Read a 16-bit depth PNG -> (H,W) uint16 in raw sensor units
+    (millimeters for the reference's captures) — the wire format the
+    streaming producer ships over the host->device link."""
     from recon3d_tpu.utils import native
 
     raw = native.png_read(path)
@@ -277,7 +275,16 @@ def read_depth(path: str, depth_scale: float = 1000.0) -> np.ndarray:
         from PIL import Image
 
         raw = np.asarray(Image.open(path))
-    return raw.astype(np.float32) / float(depth_scale)
+    return np.asarray(raw, np.uint16)
+
+
+def read_depth(path: str, depth_scale: float = 1000.0) -> np.ndarray:
+    """Read a 16-bit depth PNG -> (H,W) float32 meters.
+
+    The reference saves depth as uint16 PNG in millimeters and divides by
+    depth_scale=1000 on load (mini1.py:147-151 convert defaults).
+    """
+    return read_depth_raw(path).astype(np.float32) / float(depth_scale)
 
 
 def load_rgbd_frames_batch(directory: str, depth_scale: float = 1000.0,

@@ -133,12 +133,16 @@ def main() -> int:
         cam = FakeRGBDCamera("/root/reference/test/output")
         cam.open()
         color, depth = cam.grab()
-        cam.close()
         intr = CameraIntrinsics(
             fx=jnp.float32(616.63), fy=jnp.float32(616.31),
             cx=jnp.float32(312.58), cy=jnp.float32(242.22))
-        sf = StreamingFusion(None, intr, ScannerConfig(), resolution=256)
+        # constructed WITH the camera so warmup compiles the u16-wire
+        # step/batch programs the producer actually ships (bench's
+        # isolation extras run the same wire format)
+        sf = StreamingFusion(cam, intr, ScannerConfig(), resolution=256)
         sf.warmup(color, depth)
+        sf.camera = None
+        cam.close()
         # mesh extraction on the (empty) volume: compiles the soup scan +
         # weld programs the bench times
         mesh = marching.extract_triangle_mesh(sf.volume)
