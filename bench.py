@@ -841,8 +841,22 @@ def main():
             # down +z), which degenerates incremental == full — the
             # dirty-slab win is for updates that don't re-observe the
             # whole scene, which is what a live remesh loop refreshes on.
-            zmid = float(jnp.median(jnp.where(dd > 0, dd, 1.5)))
-            dd_loc = jnp.where(jnp.abs(dd - zmid) < 0.05, dd, 0.0)
+            ddf = np.asarray(dd, np.float32) / 1000.0 \
+                if np.asarray(dd).dtype == np.uint16 else np.asarray(dd)
+            zmid = float(np.median(ddf[ddf > 0])) if (ddf > 0).any() else 1.5
+            # a close OBJECT in front of the scene (a 40 px disc ~0.35 m
+            # nearer than the median surface): few dirty z-slabs with
+            # SPARSE content — the case the small-cap refresh variant
+            # serves, and what a live remesh loop actually refreshes on.
+            # A full-frame depth band at the surface's own z would
+            # concentrate the whole wall in the dirty slabs (z-slab
+            # worst case) and measure a half-scene re-mesh instead.
+            hh, ww = ddf.shape
+            yy, xx = np.mgrid[0:hh, 0:ww]
+            disc = ((yy - hh // 2) ** 2 + (xx - ww // 2) ** 2) < 40 ** 2
+            dd_loc = jnp.asarray(
+                np.where(disc, max(zmid - 0.35, 0.4), 0.0)
+                .astype(np.float32))
             vol = im.integrate(vol, dd_loc, s_intr,
                                jnp.eye(4, dtype=jnp.float32))
             m1 = im.mesh_device(vol)          # warm the partial program

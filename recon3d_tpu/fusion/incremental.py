@@ -84,7 +84,7 @@ class IncrementalMesher:
                  max_triangles: Optional[int] = None,
                  weight_min: float = 1.0,
                  table_bits: Optional[int] = None, probes: int = 16,
-                 batch_k: int = 8):
+                 batch_k: int = 8, cap_mult: int = 4):
         R = resolution
         # dirty slabs refresh in batches of batch_k per device dispatch
         # (one vmapped march + one flat probe loop per batch)
@@ -97,10 +97,20 @@ class IncrementalMesher:
             # incremental mesh and a default full extract requires the
             # two budgets (hence caps) to agree
             max_triangles = _marching.default_max_triangles(R)
-        # per-slab cap: the SAME formula as extract_triangle_soup's
-        # (marching.slab_cap) so incremental and full extraction
-        # truncate identically — a 4x-quota borrow, see marching.py
-        self.cap = _marching.slab_cap(R, slab, max_triangles)
+        # per-slab cap via the SAME formula as extract_triangle_soup's
+        # (marching.slab_cap). Every per-slab march, probe round, and
+        # scatter in _build_update scales with the cap, so cap_mult is
+        # the live-latency/completeness knob: 1 runs refreshes ~4x
+        # faster but truncates camera-facing surfaces badly (a wall at
+        # constant z concentrates the WHOLE mesh in 1-2 z-slabs — the
+        # streaming equality test loses 2/3 of its triangles at 1x), so
+        # the default stays 4; truncation is counted
+        # (dropped_triangles) and warned with the raise-max_triangles
+        # escape hatch, and the FINAL mesh
+        # (marching.extract_triangle_mesh) escalates adaptively instead.
+        self.cap_mult = cap_mult
+        self.cap = _marching.slab_cap(R, slab, max_triangles,
+                                      mult=cap_mult)
         # z-window per slab: start voxel and first-owned corner row (the
         # last slab is shifted in-bounds; z_lo masks the overlap rows)
         self._z0s = np.minimum(np.arange(self.n_slabs) * slab,
@@ -131,7 +141,7 @@ class IncrementalMesher:
             ndrop=jnp.zeros((self.n_slabs,), jnp.int32),
         )
         self._integrate_fn = None
-        self._update_fns = {}  # chunk size K -> jitted refresh program
+        self._update_fns = {}  # (K, cap_march) -> jitted refresh program
         self._mesh_fn = None
         # weld-table health: tombstoned slots keep their keys, so a very
         # long session whose TSDF drift keeps minting new quantized keys
@@ -201,7 +211,7 @@ class IncrementalMesher:
             ndrop=jnp.zeros((self.n_slabs,), jnp.int32))
 
     # ---- dirty-slab refresh ------------------------------------------
-    def _build_update(self, K: int):
+    def _build_update(self, K: int, cap_march: Optional[int] = None):
         """ONE device program refreshing a batch of K dirty slabs.
 
         The round-3 shape — a fori_loop over ALL slabs with a lax.cond
@@ -214,11 +224,21 @@ class IncrementalMesher:
         (one claim-table sweep per round total), and old-subtract /
         new-insert are single flat scatters. Entries beyond the dirty
         count pad with index n_slabs (masked everywhere, dropped by
-        scatter bounds)."""
+        scatter bounds).
+
+        cap_march < self.cap builds the SMALL-CONTENT variant: the march
+        compaction, probe lanes, and insert scatters all scale with the
+        compaction width, so sparse dirty slabs (a close object in front
+        of the scene — the live-remesh case) refresh at a fraction of
+        the full-cap cost. Overflowing slabs are detected via the
+        recorded per-slab drop count and the caller re-runs them at full
+        cap — exact, because old-subtract makes refreshes idempotent.
+        Results are padded to self.cap rows for the cache writes."""
         slab, cap, wmin = self.slab, self.cap, self.weight_min
+        cap_m = cap if cap_march is None else cap_march
         n_slabs, probes = self.n_slabs, self.probes
         S = 1 << self.table_bits
-        N3 = 3 * cap * K
+        N3 = 3 * cap_m * K
         # index n_slabs = the pad slot: z0 0 is computed then masked out
         z0s = jnp.asarray(np.append(self._z0s, 0).astype(np.int32))
         z_los = jnp.asarray(np.append(self._z_los, 0).astype(np.int32))
@@ -236,13 +256,13 @@ class IncrementalMesher:
 
             def one_slab(z0, z_lo):
                 tri, sel, n, tot = _marching._slab_tris(
-                    vol, z0, z_lo, slab, cap, wmin)
+                    vol, z0, z_lo, slab, cap_m, wmin)
                 # orientation is slab-local (reads only this slab's tsdf
                 # neighborhood) so caching it stays exact
                 return _marching._orient_by_gradient(vol, tri), sel, tot - n
 
             tri, sel, drop = jax.vmap(one_slab)(z0s[idxs], z_los[idxs])
-            sel = sel & live[:, None]                    # (K, cap)
+            sel = sel & live[:, None]                    # (K, cap_m)
 
             # remove the batch's OLD contributions (exactly what previous
             # refreshes added: val/fslot track them)
@@ -333,7 +353,7 @@ class IncrementalMesher:
 
             # triangle-atomic: keep a triangle only if all three corners
             # landed slots, so removal stays symmetric
-            tri_ok = sel & jnp.all((~unresolved).reshape(K, cap, 3),
+            tri_ok = sel & jnp.all((~unresolved).reshape(K, cap_m, 3),
                                    axis=2)
             add_m = jnp.repeat(tri_ok.reshape(-1), 3)
             tgt = jnp.where(add_m, slot_of, S)
@@ -346,12 +366,20 @@ class IncrementalMesher:
                 ccol = ccol.at[tgt].set(
                     jnp.where(add_m[:, None], cols, 0.0), mode="drop")
 
+            slot3 = slot_of.reshape(K, cap_m, 3)
+            if cap_m != cap:
+                # pad to the cache's row width (dense writes are cheap;
+                # the cap-scaled costs above already ran at cap_m)
+                pad = ((0, 0), (0, cap - cap_m))
+                tri = jnp.pad(tri, pad + ((0, 0), (0, 0)))
+                tri_ok = jnp.pad(tri_ok, pad)
+                slot3 = jnp.pad(slot3, pad + ((0, 0),))
+
             wi = jnp.where(live, idxs, n_slabs)          # write-or-drop
             return cache._replace(
                 tri=cache.tri.at[wi].set(tri, mode="drop"),
                 val=cache.val.at[wi].set(tri_ok, mode="drop"),
-                fslot=cache.fslot.at[wi].set(
-                    slot_of.reshape(K, cap, 3), mode="drop"),
+                fslot=cache.fslot.at[wi].set(slot3, mode="drop"),
                 dirty=cache.dirty.at[wi].set(False, mode="drop"),
                 key=key, used=used, vsum=vsum, vcnt=vcnt, ccol=ccol,
                 nunres=cache.nunres + jnp.sum(unresolved,
@@ -386,19 +414,45 @@ class IncrementalMesher:
         mask is a (n_slabs,) bool sync — one tiny transfer per remesh
         (prefetched asynchronously by integrate), paid to pick the chunk
         sizes host-side (a fixed-size device-side top-K would silently
-        truncate when more than K slabs are dirty)."""
+        truncate when more than K slabs are dirty).
+
+        Small LOCALIZED updates (dirty count <= batch_k/2) first try the
+        cap/8 march variant — every cap-scaled cost (march compaction,
+        probe lanes, insert scatters) shrinks 8x, which is what makes a
+        close-object re-mesh ~O(content) instead of O(cap). Slabs whose
+        true content overflowed the small cap are detected from the
+        recorded per-slab drop counts (one scalar-vector sync) and
+        re-run at full cap — exact, since old-subtract makes refreshes
+        idempotent."""
         dirty = np.where(np.asarray(self.cache.dirty))[0].astype(np.int32)
-        pos = 0
-        while pos < dirty.size:
-            rest = dirty.size - pos
-            K = next(k for k in (8, 4, 2, 1)
-                     if k <= min(rest, self.batch_k))
-            fn = self._update_fns.get(K)
-            if fn is None:
-                fn = self._update_fns[K] = self._build_update(K)
-            self.cache = fn(vol, self.cache,
-                            jnp.asarray(dirty[pos:pos + K]))
-            pos += K
+        if dirty.size == 0:
+            return
+        cap_small = max(2048, self.cap // 8)
+        use_small = (dirty.size <= max(2, self.batch_k // 2)
+                     and cap_small < self.cap)
+
+        def run(idxs, cap_march):
+            pos = 0
+            while pos < idxs.size:
+                rest = idxs.size - pos
+                K = next(k for k in (8, 4, 2, 1)
+                         if k <= min(rest, self.batch_k))
+                fkey = (K, cap_march)
+                fn = self._update_fns.get(fkey)
+                if fn is None:
+                    fn = self._update_fns[fkey] = self._build_update(
+                        K, None if cap_march == self.cap else cap_march)
+                self.cache = fn(vol, self.cache,
+                                jnp.asarray(idxs[pos:pos + K]))
+                pos += K
+
+        if use_small:
+            run(dirty, cap_small)
+            over = dirty[np.asarray(self.cache.ndrop)[dirty] > 0]
+            if over.size:
+                run(over.astype(np.int32), self.cap)
+        else:
+            run(dirty, self.cap)
 
     def update(self, vol: TSDFVolume) -> "IncrementalMesher":
         """Refresh dirty slabs in batched device dispatches; clean slabs

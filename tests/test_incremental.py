@@ -66,7 +66,7 @@ class TestIncrementalMesher:
                             sdf_trunc=0.09, origin=(-0.96, -0.96, 0.3),
                             with_color=False)
         vol_full = jnp.asarray(0)  # placeholder; full path copies below
-        im = I.IncrementalMesher(resolution=R, max_triangles=1 << 15)
+        im = I.IncrementalMesher(resolution=R, max_triangles=1 << 17)
         import jax
         vol_full = jax.tree.map(jnp.copy, vol)
         for k in range(4):
@@ -84,7 +84,7 @@ class TestIncrementalMesher:
             # slab program, so triangles are bitwise identical; only the
             # persistent table's f32 add/subtract drift separates them)
             im_fresh = I.IncrementalMesher(resolution=R,
-                                           max_triangles=1 << 15)
+                                           max_triangles=1 << 17)
             m_inc = im.mesh(vol)
             m_ref = im_fresh.mesh(vol_full)
             vi, ti = _canon_mesh(m_inc, 0.03 / 256.0)
@@ -94,7 +94,7 @@ class TestIncrementalMesher:
             np.testing.assert_array_equal(ti, tr)
             # cross-implementation: the scan-based full extractor
             m_full = M.extract_triangle_mesh(vol_full,
-                                             max_triangles=1 << 15)
+                                             max_triangles=1 << 17)
             _assert_meshes_close(m_inc, m_full, 0.03)
 
     def test_dirty_slabs_shrink_after_refresh(self):
@@ -108,7 +108,7 @@ class TestIncrementalMesher:
         vol = T.make_volume(resolution=R, voxel_size=0.03,
                             sdf_trunc=0.09, origin=(-0.96, -0.96, 0.3),
                             with_color=False)
-        im = I.IncrementalMesher(resolution=R, max_triangles=1 << 15)
+        im = I.IncrementalMesher(resolution=R, max_triangles=1 << 17)
         color, depth = cam.grab()
         eye = jnp.eye(4, dtype=jnp.float32)
         vol = im.integrate(vol, jnp.asarray(depth), intr, eye)
@@ -194,5 +194,72 @@ def test_slab_cap_shared_between_paths():
     (marching.slab_cap) — a one-sided cap change silently breaks the
     incremental == full-extract contract on dense slabs."""
     for R, mt in ((96, 1 << 15), (256, 1 << 19), (64, 1 << 14)):
-        im = I.IncrementalMesher(resolution=R, max_triangles=mt)
-        assert im.cap == M.slab_cap(R, im.slab, mt), (R, mt)
+        for mult in (1, 4):
+            im = I.IncrementalMesher(resolution=R, max_triangles=mt,
+                                     cap_mult=mult)
+            assert im.cap == M.slab_cap(R, im.slab, mt, mult=mult), (
+                R, mt, mult)
+
+
+class TestSmallCapRefresh:
+    """Localized updates take the cap/8 march variant; overflowing slabs
+    retry at full cap. Either way the result must equal a fresh full
+    rebuild (old-subtract keeps refreshes idempotent)."""
+
+    def _scene(self):
+        R = 64
+        cam = SyntheticRGBDCamera(width=128, height=96, n_frames=1)
+        cam.open()
+        intr = _intr()
+        vol = T.make_volume(resolution=R, voxel_size=0.03,
+                            sdf_trunc=0.09, origin=(-0.96, -0.96, 0.3),
+                            with_color=False)
+        im = I.IncrementalMesher(resolution=R, max_triangles=1 << 17)
+        _c, depth = cam.grab()
+        vol = im.integrate(vol, jnp.asarray(depth), intr,
+                           jnp.eye(4, dtype=jnp.float32))
+        im.update(vol)  # full build: all slabs dirty -> full-cap path
+        return R, intr, vol, im, np.asarray(depth)
+
+    def _check_equal(self, im, vol, R):
+        im_fresh = I.IncrementalMesher(resolution=R,
+                                       max_triangles=1 << 17)
+        vi, ti = _canon_mesh(im.mesh(vol), 0.03 / 256.0)
+        vr, tr = _canon_mesh(im_fresh.mesh(vol), 0.03 / 256.0)
+        assert len(vi) == len(vr) > 0
+        np.testing.assert_allclose(vi, vr, atol=1e-5)
+        np.testing.assert_array_equal(ti, tr)
+
+    def test_sparse_localized_update_small_path(self):
+        R, intr, vol, im, depth = self._scene()
+        # a small close blob IN FRONT of the scene: few dirty slabs,
+        # sparse content -> the small-cap program must suffice
+        h, w = depth.shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        disc = ((yy - h // 2) ** 2 + (xx - w // 2) ** 2) < 12 ** 2
+        blob = np.where(disc, 0.65, 0.0).astype(np.float32)
+        vol = im.integrate(vol, jnp.asarray(blob), intr,
+                           jnp.eye(4, dtype=jnp.float32))
+        nd = int(np.asarray(im.cache.dirty).sum())
+        assert 0 < nd <= max(2, im.batch_k // 2), nd
+        im.update(vol)
+        # sparse content: the small cap must NOT have overflowed
+        assert int(np.asarray(im.cache.ndrop).sum()) == 0
+        self._check_equal(im, vol, R)
+
+    def test_dense_localized_update_retries_full(self):
+        R, intr, vol, im, depth = self._scene()
+        # re-observe the SCENE itself through a narrow depth band: few
+        # dirty slabs but wall-dense content -> small cap overflows and
+        # the full-cap retry must restore exactness
+        zmid = float(np.median(depth[depth > 0]))
+        # slightly shifted depth: re-observing identical depth leaves the
+        # tsdf bitwise unchanged (nothing would go dirty)
+        band = np.where(np.abs(depth - zmid) < 0.03, depth - 0.008,
+                        0.0).astype(np.float32)
+        vol = im.integrate(vol, jnp.asarray(band), intr,
+                           jnp.eye(4, dtype=jnp.float32))
+        nd = int(np.asarray(im.cache.dirty).sum())
+        assert nd > 0
+        im.update(vol)
+        self._check_equal(im, vol, R)

@@ -156,6 +156,16 @@ def main() -> int:
                            jnp.eye(4, dtype=jnp.float32))
         m = im.mesh_device(vol)
         jax.block_until_ready(m.vertices)
+        # localized close-object update: compiles the small-cap refresh
+        # variants (K=1/2) bench's mesh_extract_incremental extra times
+        import numpy as _np
+        h, w = _np.asarray(depth).shape
+        yy, xx = _np.mgrid[0:h, 0:w]
+        disc = ((yy - h // 2) ** 2 + (xx - w // 2) ** 2) < 40 ** 2
+        blob = jnp.asarray(_np.where(disc, 1.0, 0.0).astype(_np.float32))
+        vol = im.integrate(vol, blob, intr, jnp.eye(4, dtype=jnp.float32))
+        m = im.mesh_device(vol)
+        jax.block_until_ready(m.vertices)
         print(f"streaming consumer + mesh extract + incremental mesher "
               f"ready in {time.perf_counter() - t0:.1f}s", flush=True)
 
