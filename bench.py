@@ -723,13 +723,28 @@ def main():
         deadline = time.perf_counter() + 600.0
         while sf.frames_integrated < 17 and time.perf_counter() < deadline:
             time.sleep(0.1)  # settle: first frame + ragged pre-batch drains
+        # COMPLETION-counted window: frames_integrated increments at
+        # DISPATCH (the consumer never syncs), and on the axon runtime
+        # dispatches can run far ahead of execution — rounds 3-4
+        # recorded 26-31 "fps" while the device was completing 2.4
+        # (tools/exp_resident.py measured the batch program at
+        # 3.4 s/call against a 30 s window that counted 88 dispatches).
+        # Draining the device INSIDE the window (sync at both edges)
+        # counts only completed work.
+        # (sync on a trajectory pose: poses are program OUTPUTS — the
+        # volume/state buffers are donated and may already be invalid —
+        # and the device queue is serial, so pose k complete means every
+        # dispatch before it completed too)
+        _ = float(jnp.sum(sf.trajectory[-1]))  # drain in-flight work
         n0, t0 = sf.frames_integrated, time.perf_counter()
         c0 = sf.frames_captured
         while (sf.frames_integrated < n0 + 90
-               and time.perf_counter() < t0 + 30.0):
+               and time.perf_counter() < t0 + 60.0):
             time.sleep(0.05)
-        n1, t1 = sf.frames_integrated, time.perf_counter()
+        n1 = sf.frames_integrated
         c1 = sf.frames_captured
+        _ = float(jnp.sum(sf.trajectory[n1 - 1]))  # counted frames DONE
+        t1 = time.perf_counter()
         sf.stop()
         # looped replay wraps (last golden frame -> frame 0) are real
         # camera jumps: expect exactly the wrap count under the bounded

@@ -113,7 +113,32 @@ def _frame_contrib(
     inb = (z > 1e-6) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
     uc = jnp.clip(ui, 0, W - 1)
     vc = jnp.clip(vi, 0, H - 1)
-    d = depth[vc, uc]
+
+    c = None
+    if color is not None:
+        c = jnp.asarray(color)
+        if c.dtype == jnp.uint8:
+            c = c.astype(jnp.float32) / 255.0
+
+    # image sampling: the XLA gather `depth[vc, uc]` serializes on TPU
+    # (201 ms for the depth channel alone at 256^3 on a v5e — the
+    # dominant cost of the whole fused odometry+integrate step); the
+    # Pallas windowed one-hot sampler reads the same pixels bitwise via
+    # MXU selection (ops/project_sample.py). XLA remains the fallback
+    # (and the CPU oracle) for shapes outside the kernel's tiling.
+    use_kernel = (jax.default_backend() == "tpu"
+                  and (R * R) % 1024 == 0 and H >= 64 and W >= 128)
+    if use_kernel:
+        from recon3d_tpu.ops.project_sample import sample_images_at
+
+        imgs = depth[None] if c is None else jnp.concatenate(
+            [depth[None], jnp.moveaxis(c, -1, 0)], axis=0)
+        samp = sample_images_at(vc, uc, imgs)
+        d = samp[0]
+        csamp = None if c is None else jnp.moveaxis(samp[1:], 0, -1)
+    else:
+        d = depth[vc, uc]
+        csamp = None if c is None else c[vc, uc]
     valid_d = (d > 1e-4) & (d < depth_trunc) & inb
 
     sdf = d - z
@@ -122,11 +147,8 @@ def _frame_contrib(
     upd = valid_d & (sdf > -vol.sdf_trunc)
     w_new = upd.astype(jnp.float32)
     cf = None
-    if color is not None:
-        c = jnp.asarray(color)
-        if c.dtype == jnp.uint8:
-            c = c.astype(jnp.float32) / 255.0
-        cf = jnp.where(upd[..., None], c[vc, uc], 0.0)
+    if csamp is not None:
+        cf = jnp.where(upd[..., None], csamp, 0.0)
     return jnp.where(upd, tsdf_new, 0.0), w_new, cf
 
 
