@@ -719,7 +719,11 @@ def main():
         w_c, w_d = w_cam.grab()
         w_cam.close()
         sf.warmup(w_c, w_d)
-        sf.start()
+        # cap the capture: without it the looping replay keeps
+        # dispatching while the window-edge syncs wait, and stop() then
+        # drains MINUTES of queued device work (r5c's streaming section
+        # took 20 min, mostly that drain)
+        sf.start(max_frames=140)
         deadline = time.perf_counter() + 600.0
         while sf.frames_integrated < 17 and time.perf_counter() < deadline:
             time.sleep(0.1)  # settle: first frame + ragged pre-batch drains
@@ -811,7 +815,7 @@ def main():
             vol, st, wfcs, _h = B8(vol, st, *batches[0])  # warm
             _ = float(jnp.sum(wfcs))
             t0 = time.perf_counter()
-            rounds = 8
+            rounds = 4
             for _r in range(rounds):
                 for bc, bd in batches:
                     vol, st, wfcs, _h = B8(vol, st, bc, bd)

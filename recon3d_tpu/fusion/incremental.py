@@ -428,7 +428,7 @@ class IncrementalMesher:
         if dirty.size == 0:
             return
         cap_small = max(2048, self.cap // 8)
-        use_small = (dirty.size <= max(2, self.batch_k // 2)
+        use_small = (dirty.size <= self.batch_k
                      and cap_small < self.cap)
 
         def run(idxs, cap_march):
