@@ -739,11 +739,14 @@ def main():
         # volume/state buffers are donated and may already be invalid —
         # and the device queue is serial, so pose k complete means every
         # dispatch before it completed too)
-        _ = float(jnp.sum(sf.trajectory[-1]))  # drain in-flight work
-        n0, t0 = sf.frames_integrated, time.perf_counter()
+        _ = float(jnp.sum(sf.trajectory[16]))  # settle frames COMPLETE
+        n0, t0 = 17, time.perf_counter()
         c0 = sf.frames_captured
-        while (sf.frames_integrated < n0 + 90
-               and time.perf_counter() < t0 + 60.0):
+        # the producer dispatches its whole capped stream in seconds;
+        # completed-frame throughput = frames 17..140 over the time from
+        # the settle sync to the post-drain sync
+        while (sf.frames_integrated < 140
+               and time.perf_counter() < t0 + 600.0):
             time.sleep(0.05)
         n1 = sf.frames_integrated
         c1 = sf.frames_captured
@@ -756,9 +759,10 @@ def main():
         odometry_failures = sf.odometry_failures
         if n1 > n0:
             streaming_fps = round((n1 - n0) / (t1 - t0), 2)
-            # proves the producer no longer caps the stream (round-3's
-            # serial per-frame PNG decode held capture at ~25 fps)
-            capture_fps = round((c1 - c0) / (t1 - t0), 2)
+            if c1 > c0:
+                # the producer's dispatch rate over the same window
+                # (bounded above by the host->device link)
+                capture_fps = round((c1 - c0) / (t1 - t0), 2)
 
         # attribute the threaded number: time the fused odometry+integrate
         # device program and the per-frame host->HBM transfer in isolation.

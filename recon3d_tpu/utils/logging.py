@@ -35,7 +35,13 @@ def make_logger(name: str = "recon3d", output_dir: Optional[str] = None) -> logg
 
 
 class FPSCounter:
-    """Per-second FPS logging (reference: check81.py:406-418)."""
+    """Per-second FPS logging (reference: check81.py:406-418).
+
+    NOTE: consumers tick() when a jitted call RETURNS, which on an
+    asynchronous runtime is the DISPATCH rate, not completed-frame
+    throughput (dispatches ran ~10x ahead of execution on the axon
+    backend until the round-5 integrate fix). Logged fps is a liveness
+    signal; bench.py measures throughput with device-synced windows."""
 
     def __init__(self, logger: Optional[logging.Logger] = None, label: str = "scan"):
         self.logger = logger
