@@ -457,6 +457,22 @@ def main():
     from recon3d_tpu.depth import sgm_pallas
     from recon3d_tpu.ops.warp import remap_two_pass_pallas
 
+    # Soft wall-clock budget for the EXTRAS: on a cold cache every
+    # section pays its own compile + the axon first-execution penalty
+    # (2-5 min per program — and the persistent-cache key rotates with
+    # the axon server's state, so a fresh driver session can cold-miss
+    # the entire committed cache). Sections past the deadline are
+    # skipped so the headline JSON line ALWAYS prints inside the
+    # driver's budget; extras go null instead of the whole round.
+    budget_s = float(os.environ.get("RECON3D_BENCH_BUDGET_S", "1500"))
+    deadline = time.perf_counter() + budget_s
+
+    def over_budget(name: str) -> bool:
+        if time.perf_counter() > deadline:
+            hb(f"{name}: SKIPPED (soft budget {budget_s:.0f}s exhausted)")
+            return True
+        return False
+
     hb("build_headline: start")
     frame, (jl, jr, jc, plan, jQ), scene = build_headline()
     W, H, D = scene["W"], scene["H"], scene["D"]
@@ -511,8 +527,9 @@ def main():
     # lose the headline line)
     roof = {}
     try:
-        with section_guard("roofline", 900):
-            roof = roofline(scene, 1000.0 / fps)
+        if not over_budget("roofline"):
+            with section_guard("roofline", 900):
+                roof = roofline(scene, 1000.0 / fps)
     except (Exception, _SectionTimeout) as e:  # pragma: no cover
         print(f"# roofline extras skipped: {type(e).__name__}", flush=True)
 
@@ -524,6 +541,8 @@ def main():
     rect_ours_l, rect_ours_r = to8(rect_l), to8(rect_r)
     disp_p = valid_p = None
     try:
+        if over_budget("accuracy sgm3 parity"):
+            raise _SectionTimeout("budget")
         with section_guard("accuracy sgm3 parity", 900):
             disp_p, valid_p = sgm_pallas.sgm_disparity_pallas(
                 jnp.asarray(rect_ours_l, jnp.float32),
@@ -571,6 +590,9 @@ def main():
     _sg = section_guard("full-pipeline cross-check", 1200)
     _sg.__enter__()
     try:
+        if over_budget("full-pipeline cross-check"):
+            raise _SectionTimeout("budget")
+
         def rmse(a, b, m):
             return round(float(np.sqrt(((a[m] - b[m]) ** 2).mean())), 4)
 
@@ -673,6 +695,8 @@ def main():
         # most 21^3 ~ 9.3k occupied voxels; the old default (capacity=N)
         # made the compact buffers 10M wide, which is what OOM-killed the
         # round-1 remote compile helper
+        if over_budget("voxel 10M"):
+            raise _SectionTimeout("budget")
         with section_guard("voxel 10M", 900):
             ms_vd10m = _sub_pointop("voxel", "--n", 10_000_000,
                                     "--voxel-size", 0.05,
@@ -692,6 +716,8 @@ def main():
     _sg = section_guard("streaming + mesh extras", 1800)
     _sg.__enter__()
     try:
+        if over_budget("streaming + mesh extras"):
+            raise _SectionTimeout("budget")
         from recon3d_tpu.camera.fake import FakeRGBDCamera
         from recon3d_tpu.config import ScannerConfig
         from recon3d_tpu.pipeline.streaming import StreamingFusion
@@ -898,6 +924,8 @@ def main():
     try:
         # grid sized to the data: 52 cells * 0.02 cover the unit cube
         # (a 64 grid spans 1.28 and wastes 45% of the slab work)
+        if over_budget("normals 1M"):
+            raise _SectionTimeout("budget")
         with section_guard("normals 1M", 900):
             ms_n1m = _sub_pointop("normals", "--n", 1_000_000,
                                   "--radius", 0.02, "--grid", 52,
@@ -911,6 +939,8 @@ def main():
         # (test/gpu-performance.py:23-46 uses 10M random unit-cube points):
         # radius shrinks so the 128-cell grid spans the cube (128*0.008 =
         # 1.024) and mean cell occupancy stays ~5 of capacity 16
+        if over_budget("normals 10M"):
+            raise _SectionTimeout("budget")
         with section_guard("normals 10M", 900):
             ms_n10m = _sub_pointop("normals", "--n", 10_000_000,
                                    "--radius", 0.008, "--grid", 128,
