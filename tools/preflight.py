@@ -99,10 +99,16 @@ def run_tpu_smoke() -> bool:
     log(f"tpu-smoke: compiled in {compile_s:.1f}s "
         f"(cache hits={stats.hit} misses={stats.miss})")
     if not cache_ok:
-        log("tpu-smoke: headline program MISSED the committed cache — the "
-            "compile above re-warmed it; commit the new .jax_cache entries "
-            "(the driver bench would have paid this compile + the cold "
-            "first-exec penalty)")
+        # WARNING, not a failure: the persistent-cache key rotates with
+        # the axon server's state (five different jit_frame keys were
+        # written across one day's process windows), so a miss here does
+        # not mean the committed set is stale — and bench.py now
+        # survives a fully cold cache anyway (per-section guards, split
+        # fallback, soft budget). Committing the re-warmed entries still
+        # helps runs inside the same server window.
+        log("tpu-smoke: WARNING headline program missed the committed "
+            "cache (axon cache keys rotate with server state; bench "
+            "tolerates cold via guards + the soft budget)")
 
     ok_exec = True
     try:
@@ -125,7 +131,7 @@ def run_tpu_smoke() -> bool:
         log(f"tpu-smoke: steady {ms:.1f} ms/frame ({1000.0 / ms:.1f} fps)")
         if ms > 100.0:
             log("tpu-smoke: WARNING steady frame above 100 ms")
-    return ok_exec and cache_ok
+    return ok_exec
 
 
 def check_readme() -> bool:
