@@ -464,14 +464,22 @@ def main():
     # the entire committed cache). Sections past the deadline are
     # skipped so the headline JSON line ALWAYS prints inside the
     # driver's budget; extras go null instead of the whole round.
-    budget_s = float(os.environ.get("RECON3D_BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("RECON3D_BENCH_BUDGET_S", "1200"))
     deadline = time.perf_counter() + budget_s
+    # sections may START before the soft deadline but must also FINISH
+    # before the hard one — their guards shrink to the remaining time
+    hard_s = float(os.environ.get("RECON3D_BENCH_HARD_S", "1650"))
+    hard_deadline = time.perf_counter() + hard_s
 
     def over_budget(name: str) -> bool:
         if time.perf_counter() > deadline:
             hb(f"{name}: SKIPPED (soft budget {budget_s:.0f}s exhausted)")
             return True
         return False
+
+    def guard_for(nominal: int) -> int:
+        return max(60, min(nominal,
+                           int(hard_deadline - time.perf_counter())))
 
     hb("build_headline: start")
     frame, (jl, jr, jc, plan, jQ), scene = build_headline()
@@ -528,7 +536,7 @@ def main():
     roof = {}
     try:
         if not over_budget("roofline"):
-            with section_guard("roofline", 900):
+            with section_guard("roofline", guard_for(900)):
                 roof = roofline(scene, 1000.0 / fps)
     except (Exception, _SectionTimeout) as e:  # pragma: no cover
         print(f"# roofline extras skipped: {type(e).__name__}", flush=True)
@@ -543,7 +551,7 @@ def main():
     try:
         if over_budget("accuracy sgm3 parity"):
             raise _SectionTimeout("budget")
-        with section_guard("accuracy sgm3 parity", 900):
+        with section_guard("accuracy sgm3 parity", guard_for(900)):
             disp_p, valid_p = sgm_pallas.sgm_disparity_pallas(
                 jnp.asarray(rect_ours_l, jnp.float32),
                 jnp.asarray(rect_ours_r, jnp.float32),
@@ -587,7 +595,7 @@ def main():
     # Guarded: the full-pipeline cross-check must not lose the headline.
     rmse_cv_full = full_ours_truth = full_cv2_truth = None
     decomp_matcher = decomp_warp = full_ours_truth_mm = None
-    _sg = section_guard("full-pipeline cross-check", 1200)
+    _sg = section_guard("full-pipeline cross-check", guard_for(1200))
     _sg.__enter__()
     try:
         if over_budget("full-pipeline cross-check"):
@@ -697,7 +705,7 @@ def main():
         # round-1 remote compile helper
         if over_budget("voxel 10M"):
             raise _SectionTimeout("budget")
-        with section_guard("voxel 10M", 900):
+        with section_guard("voxel 10M", guard_for(900)):
             ms_vd10m = _sub_pointop("voxel", "--n", 10_000_000,
                                     "--voxel-size", 0.05,
                                     "--capacity", 1 << 14)
@@ -713,7 +721,7 @@ def main():
     mesh_extract_ms = mesh_full_cached_ms = mesh_incr_ms = None
     streaming_fps_resident = None
     # guard armed without `with` to keep the long body's indentation
-    _sg = section_guard("streaming + mesh extras", 1800)
+    _sg = section_guard("streaming + mesh extras", guard_for(1800))
     _sg.__enter__()
     try:
         if over_budget("streaming + mesh extras"):
@@ -926,7 +934,7 @@ def main():
         # (a 64 grid spans 1.28 and wastes 45% of the slab work)
         if over_budget("normals 1M"):
             raise _SectionTimeout("budget")
-        with section_guard("normals 1M", 900):
+        with section_guard("normals 1M", guard_for(900)):
             ms_n1m = _sub_pointop("normals", "--n", 1_000_000,
                                   "--radius", 0.02, "--grid", 52,
                                   "--cap", 16)
@@ -941,7 +949,7 @@ def main():
         # 1.024) and mean cell occupancy stays ~5 of capacity 16
         if over_budget("normals 10M"):
             raise _SectionTimeout("budget")
-        with section_guard("normals 10M", 900):
+        with section_guard("normals 10M", guard_for(900)):
             ms_n10m = _sub_pointop("normals", "--n", 10_000_000,
                                    "--radius", 0.008, "--grid", 128,
                                    "--cap", 16)
