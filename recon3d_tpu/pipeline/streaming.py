@@ -325,7 +325,16 @@ class StreamingFusion:
                 depth = depth_filters(depth)
             cur = RGBDImage(color=color, depth=depth)
             key = RGBDImage(color=state.key_color, depth=state.key_depth)
-            res = compute_rgbd_odometry(key, cur, intr, init=state.rel_init)
+            # trimmed GN schedule for the WARM-STARTED streaming tracker:
+            # each frame initializes from the previous relative pose, and
+            # the chip sweep (tools/exp_odo_iters.py) measured identical
+            # pose error at (3,7,10) vs the (10,10,10) default while the
+            # odometry cost drops 62 -> 27 ms. Cold-start callers
+            # (pairwise registration, offline fragments) keep the
+            # default schedule.
+            res = compute_rgbd_odometry(key, cur, intr,
+                                        init=state.rel_init,
+                                        iterations=(3, 7, 10))
             ok = res.success
             # success: cur_cam_from_key advances; failure: keep last pose
             # and re-seat the keyframe so tracking recovers
