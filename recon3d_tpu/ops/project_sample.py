@@ -77,29 +77,34 @@ def _mk_kernel(C: int, H: int, W: int):
                 rsel = (rel_r == row_iota).astype(jnp.bfloat16)
                 csel = (rel_c == col_iota).astype(jnp.float32)
                 dn = (((0,), (0,)), ((), ()))
+                # all C channel windows stacked along lanes: ONE wide
+                # matmul per bf16 pass instead of C narrow ones (same
+                # MACs, better MXU pipelining)
+                win = jnp.concatenate(
+                    [img_ref[c, pl.ds(r0, WR), pl.ds(c0, WC)]
+                     for c in range(C)], axis=1)          # (WR, C*WC)
+                # A[(c,wc), l] = win_c[rel_r[l], wc]. One-hot selection
+                # by matmul is exact when the products are: rsel is
+                # 0.0/1.0 (exact in bf16) and win splits into three bf16
+                # chunks covering the full f32 mantissa, so three 1-pass
+                # MXU products accumulated in f32 reproduce the sample
+                # BITWISE at half the passes of a HIGHEST-precision dot
+                # (same trick as the grid_knn pack kernel).
+                t0 = win.astype(jnp.bfloat16)
+                r1 = win - t0.astype(jnp.float32)
+                t1 = r1.astype(jnp.bfloat16)
+                t2 = (r1 - t1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def sel(t):
+                    return jax.lax.dot_general(
+                        t, rsel, dn,
+                        preferred_element_type=jnp.float32)
+
+                strips = (sel(t0) + sel(t1)) + sel(t2)    # (C*WC, RUN)
                 for c in range(C):
-                    win = img_ref[c, pl.ds(r0, WR), pl.ds(c0, WC)]
-                    # A[wc, l] = win[rel_r[l], wc]. One-hot selection by
-                    # matmul is exact when the products are: rsel is
-                    # 0.0/1.0 (exact in bf16) and win splits into three
-                    # bf16 chunks covering the full f32 mantissa, so
-                    # three 1-pass MXU products accumulated in f32
-                    # reproduce the sample BITWISE at half the passes of
-                    # a HIGHEST-precision dot (same trick as the
-                    # grid_knn pack kernel).
-                    t0 = win.astype(jnp.bfloat16)
-                    r1 = win - t0.astype(jnp.float32)
-                    t1 = r1.astype(jnp.bfloat16)
-                    t2 = (r1 - t1.astype(jnp.float32)).astype(jnp.bfloat16)
-
-                    def sel(t):
-                        return jax.lax.dot_general(
-                            t, rsel, dn,
-                            preferred_element_type=jnp.float32)
-
-                    strips = (sel(t0) + sel(t1)) + sel(t2)    # (WC, RUN)
                     out_ref[c, s:s + 1, lo:lo + RUN] = jnp.sum(
-                        strips * csel, axis=0, keepdims=True)
+                        strips[c * WC:(c + 1) * WC] * csel,
+                        axis=0, keepdims=True)
 
     return kernel
 
