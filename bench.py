@@ -494,39 +494,55 @@ def main():
     # of a freshly-compiled fused frame (cold compile ~40 s, first exec
     # 145 s measured — or wedged). The guard turns a wedge into an
     # attributable heartbeat line + fallback instead of a silent timeout.
-    with section_guard("headline compile", 900):
-        t0 = time.perf_counter()
-        compiled = frame.lower(jl, jr, jc, plan, jQ).compile()
-        compile_s = time.perf_counter() - t0
+    compiled = None
+    compile_s = -1.0
     frame_exec_s = None
     try:
+        with section_guard("headline compile", 900):
+            t0 = time.perf_counter()
+            compiled = frame.lower(jl, jr, jc, plan, jQ).compile()
+            compile_s = time.perf_counter() - t0
         with section_guard("headline first-exec", 420):
             t0 = time.perf_counter()
             out = compiled(jl, jr, jc, plan, jQ)
             _ = float(out[-1])
             frame_exec_s = time.perf_counter() - t0
     except _SectionTimeout:
-        # the fused program wedged on its first run: fall back to the
-        # stage-chained variant (same math, 3 smaller programs) so the
-        # round still records a headline number
-        hb("headline first-exec wedged; falling back to split pipeline")
+        # the fused program wedged compiling or on its first run: fall
+        # back to the stage-chained variant (same math, 3 smaller
+        # programs) so the round still records a headline number
+        hb("headline fused path wedged; falling back to split pipeline")
         compiled = None
     headline_program = "fused"
     if compiled is None:
-        with section_guard("headline split fallback", 900):
-            compiled = build_headline_split(scene)
-            out = compiled(jl, jr, jc, plan, jQ)
-            _ = float(out[-1])
-        headline_program = "split"
+        try:
+            with section_guard("headline split fallback", 900):
+                compiled = build_headline_split(scene)
+                out = compiled(jl, jr, jc, plan, jQ)
+                _ = float(out[-1])
+            headline_program = "split"
+        except _SectionTimeout:
+            compiled = None
 
     n_iters = 60
-    with section_guard("headline timing", 600):
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out = compiled(jl, jr, jc, plan, jQ)
-        _ = float(out[-1])  # device round-trip: all queued work executed
-        dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    fps = 0.0
+    if compiled is not None:
+        try:
+            with section_guard("headline timing", 600):
+                t0 = time.perf_counter()
+                for _ in range(n_iters):
+                    out = compiled(jl, jr, jc, plan, jQ)
+                _ = float(out[-1])  # device round-trip: queue executed
+                dt = time.perf_counter() - t0
+            fps = n_iters / dt
+        except _SectionTimeout:
+            pass
+    if fps == 0.0:
+        # both programs wedged: the JSON line still prints (value 0.0,
+        # program 'failed') so the driver records an attributable result
+        # instead of a timeout
+        headline_program = "failed"
+        hb("headline UNMEASURED: fused and split both wedged")
     hb("headline", fps=round(fps, 2), program=headline_program,
        compile_s=round(compile_s, 1),
        first_exec_s=None if frame_exec_s is None else round(frame_exec_s, 1))
@@ -537,7 +553,7 @@ def main():
     try:
         if not over_budget("roofline"):
             with section_guard("roofline", guard_for(900)):
-                roof = roofline(scene, 1000.0 / fps)
+                roof = roofline(scene, 1000.0 / fps if fps else 0.0)
     except (Exception, _SectionTimeout) as e:  # pragma: no cover
         print(f"# roofline extras skipped: {type(e).__name__}", flush=True)
 
@@ -772,12 +788,15 @@ def main():
         # (sync on a trajectory pose: poses are program OUTPUTS — the
         # volume/state buffers are donated and may already be invalid —
         # and the device queue is serial, so pose k complete means every
-        # dispatch before it completed too)
-        _ = float(jnp.sum(sf.trajectory[16]))  # settle frames COMPLETE
-        n0, t0 = 17, time.perf_counter()
+        # dispatch before it completed too). n0 is read AFTER draining
+        # everything dispatched so far: completed == dispatched == n0 at
+        # t0, and the window credits no pre-window device work.
+        n0 = sf.frames_integrated
+        _ = float(jnp.sum(sf.trajectory[n0 - 1]))
+        t0 = time.perf_counter()
         c0 = sf.frames_captured
         # the producer dispatches its whole capped stream in seconds;
-        # completed-frame throughput = frames 17..140 over the time from
+        # completed-frame throughput = frames n0..140 over the time from
         # the settle sync to the post-drain sync
         while (sf.frames_integrated < 140
                and time.perf_counter() < t0 + 600.0):
@@ -966,7 +985,7 @@ def main():
             "device": str(jax.devices()[0]),
             "num_disparities": D,
             "includes_remap": True,
-            "ms_per_frame": round(1000.0 / fps, 2),
+            "ms_per_frame": round(1000.0 / fps, 2) if fps else None,
             "compile_s": round(compile_s, 1),
             "first_exec_s": None if frame_exec_s is None
             else round(frame_exec_s, 2),

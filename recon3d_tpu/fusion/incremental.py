@@ -416,7 +416,8 @@ class IncrementalMesher:
         sizes host-side (a fixed-size device-side top-K would silently
         truncate when more than K slabs are dirty).
 
-        Small LOCALIZED updates (dirty count <= batch_k/2) first try the
+        Small LOCALIZED updates (dirty count <= batch_k, and never a full
+        rebuild) first try the
         cap/8 march variant — every cap-scaled cost (march compaction,
         probe lanes, insert scatters) shrinks 8x, which is what makes a
         close-object re-mesh ~O(content) instead of O(cap). Slabs whose
@@ -428,7 +429,12 @@ class IncrementalMesher:
         if dirty.size == 0:
             return
         cap_small = max(2048, self.cap // 8)
+        # LOCALIZED updates only: up to one batch of dirty slabs, and
+        # never a full rebuild (mark_all_dirty on a small volume would
+        # otherwise take the small pass first, overflow on every dense
+        # slab, and re-run everything at full cap — double work)
         use_small = (dirty.size <= self.batch_k
+                     and dirty.size < self.n_slabs
                      and cap_small < self.cap)
 
         def run(idxs, cap_march):

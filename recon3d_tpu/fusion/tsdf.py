@@ -126,8 +126,15 @@ def _frame_contrib(
     # Pallas windowed one-hot sampler reads the same pixels bitwise via
     # MXU selection (ops/project_sample.py). XLA remains the fallback
     # (and the CPU oracle) for shapes outside the kernel's tiling.
+    # the sampler's dynamic window clamps are min(vc//8*8, H-WR) and
+    # min(uc//128*128, W-WC) under pl.multiple_of hints, which are only
+    # TRUE when H % 8 == 0 and W % 128 == 0 (and the window must fit:
+    # H >= 64, W >= 256) — admitting other shapes would compile with a
+    # false alignment assumption and silently sample wrong pixels
     use_kernel = (jax.default_backend() == "tpu"
-                  and (R * R) % 1024 == 0 and H >= 64 and W >= 128)
+                  and (R * R) % 1024 == 0 and R % 8 == 0
+                  and H % 8 == 0 and W % 128 == 0
+                  and H >= 64 and W >= 256)
     if use_kernel:
         from recon3d_tpu.ops.project_sample import sample_images_at
 

@@ -136,6 +136,9 @@ def _integrate_frames_exact_sharded(vol, depths, exts, colors, intr,
     return new
 
 
+_EXACT_PROGRAMS: dict = {}  # (mesh, shapes...) -> jitted program
+
+
 def integrate_frames_exact(
     vol: _tsdf.TSDFVolume,
     depths: jax.Array,
@@ -151,7 +154,9 @@ def integrate_frames_exact(
     batch sharded over `axis_name`, with given (B, 4, 4) extrinsics.
 
     The integration half of fused_frames_sharded, exposed for callers
-    that already have poses (offline fragment replays, tests)."""
+    that already have poses (offline fragment replays, tests). The
+    jitted program is cached on (mesh, shapes, options) — a fresh
+    shard_map lambda per call would retrace and recompile every time."""
     B = depths.shape[0]
     n = mesh.shape[axis_name]
     assert B % n == 0, f"batch {B} must divide over {n} devices"
@@ -170,15 +175,23 @@ def integrate_frames_exact(
             jnp.asarray(colors),
             NamedSharding(mesh, P(axis_name, *([None] * (colors.ndim - 1)))))
 
-    fn = shard_map(
-        lambda v, d, e, c: _integrate_frames_exact_sharded(
-            v, d, e, c if with_c else None, intr, depth_trunc,
-            weight_max, axis_name),
-        mesh=mesh,
-        in_specs=(P(), fspec, fspec, fspec if with_c else P()),
-        out_specs=P(), check_rep=False)
-    return jax.jit(fn, out_shardings=rep, donate_argnums=(0,))(
-        vol, depths, exts, colors if with_c else jnp.zeros((B,)))
+    # intr is CLOSED OVER (baked into the program as constants), so its
+    # values must be part of the cache key
+    key = (mesh, axis_name, vol.resolution, with_c, depths.shape,
+           float(depth_trunc), float(weight_max),
+           float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy))
+    run = _EXACT_PROGRAMS.get(key)
+    if run is None:
+        fn = shard_map(
+            lambda v, d, e, c: _integrate_frames_exact_sharded(
+                v, d, e, c if with_c else None, intr, depth_trunc,
+                weight_max, axis_name),
+            mesh=mesh,
+            in_specs=(P(), fspec, fspec, fspec if with_c else P()),
+            out_specs=P(), check_rep=False)
+        run = _EXACT_PROGRAMS[key] = jax.jit(
+            fn, out_shardings=rep, donate_argnums=(0,))
+    return run(vol, depths, exts, colors if with_c else jnp.zeros((B,)))
 
 
 def fused_frames_sharded(

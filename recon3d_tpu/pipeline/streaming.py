@@ -65,12 +65,25 @@ class StreamingFusion:
         self.config = config
         # u16-wire streaming: cameras exposing grab_raw() ship
         # (u8 color, u16 depth) over the host->device link and the fused
-        # step divides by this scale on device (StreamConfig.depth_scale
-        # semantics, camera's own scale wins when it has one)
-        self._depth_scale = float(
-            getattr(camera, "depth_scale", None)
-            or getattr(getattr(config, "stream", None), "depth_scale", None)
-            or 1000.0)
+        # step DIVIDES by this scale on device (raw units per meter,
+        # StreamConfig.depth_scale semantics). The camera's own scale is
+        # trusted only when it actually has the raw path — and it must
+        # use the same divisor convention (RealSenseCamera.depth_scale
+        # is the OPPOSITE, a meters-per-unit multiplier; it has no
+        # grab_raw, so it never reaches this divide, and the assert
+        # keeps any future raw-path camera honest).
+        if hasattr(camera, "grab_raw"):
+            self._depth_scale = float(getattr(camera, "depth_scale",
+                                              0.0) or 0.0)
+            assert self._depth_scale > 1.0, (
+                "grab_raw cameras must expose depth_scale as raw units "
+                f"per meter (divisor, e.g. 1000); got "
+                f"{self._depth_scale!r} which looks like a meters-per-"
+                "unit multiplier")
+        else:
+            self._depth_scale = float(
+                getattr(getattr(config, "stream", None), "depth_scale",
+                        None) or 1000.0)
         self.logger = make_logger("fusion", config.output_dir)
         self.queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self.stop_event = threading.Event()

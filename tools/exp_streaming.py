@@ -63,6 +63,9 @@ def main():
     sf = StreamingFusion(None, intr, cfg, resolution=256)
     hb(f"consume_batch resolved to {sf._consume_batch}")
     sf.warmup(w_c, w_d)
+    # seed the tracking state (warmup leaves _state None; the batch
+    # program dereferences it)
+    sf._fuse_one(jnp.asarray(w_c), jnp.asarray(w_d), cfg.fusion)
     hb("warmup done")
     B = 8
     prog = sf._step_batches.get(B) or sf._build_step_batch(cfg.fusion)

@@ -161,18 +161,26 @@ def main() -> int:
     args = ap.parse_args()
 
     results = {}
-    if not args.skip_suite:
-        results["suite"] = run_suite()
-    if not args.skip_tpu:
-        results["tpu_smoke"] = run_tpu_smoke()
-    results["readme"] = check_readme()
-    results["git_cache_clean"] = check_git_clean()
-
-    ok = all(results.values())
-    log(f"PREFLIGHT {'PASS' if ok else 'FAIL'}: "
-        + " ".join(f"{k}={'ok' if v else 'FAIL'}"
-                   for k, v in results.items()))
-    flush_log()
+    try:
+        if not args.skip_suite:
+            results["suite"] = run_suite()
+        if not args.skip_tpu:
+            results["tpu_smoke"] = run_tpu_smoke()
+        results["readme"] = check_readme()
+        results["git_cache_clean"] = check_git_clean()
+        ok = all(results.values())
+        log(f"PREFLIGHT {'PASS' if ok else 'FAIL'}: "
+            + " ".join(f"{k}={'ok' if v else 'FAIL'}"
+                       for k, v in results.items()))
+    except BaseException as e:
+        # a hung subprocess (TimeoutExpired) or any surprise must still
+        # leave the partial log on disk — silent loss of the gate's
+        # evidence is the failure mode this tool exists to prevent
+        log(f"PREFLIGHT CRASHED: {type(e).__name__}: {e}")
+        ok = False
+        raise
+    finally:
+        flush_log()
     return 0 if ok else 1
 
 
