@@ -28,8 +28,6 @@ are identical (tests/test_incremental.py canonicalizes both).
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

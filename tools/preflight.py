@@ -74,7 +74,6 @@ class _CacheStats(logging.Handler):
 
 def run_tpu_smoke() -> bool:
     import jax
-    import jax.numpy as jnp
 
     import bench
 
